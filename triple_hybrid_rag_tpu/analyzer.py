@@ -1,0 +1,162 @@
+"""Text analysis: tokenization, normalization, stopwords, vocabulary.
+
+The reference delegates lexical analysis to PostgreSQL's ``plainto_tsquery``/``to_tsvector``
+('portuguese'/'english' configs — ``/root/reference/database/migrations/20260114_rag2_schema.sql:146-152,341``)
+plus the query-planner's stop-word keyword extraction
+(``/root/reference/triple-hybrid-rag/src/triple_hybrid_rag/core/query_planner.py:199-227``).
+
+Here the analyzer is an explicit host-side component: it runs once per document at index build
+and once per query at search time; everything downstream is integer term-ids on device. A C++
+fast path (``native/``) accelerates bulk tokenization during ingestion; this module is the
+reference implementation and the always-available fallback.
+
+Normalization pipeline: lowercase -> accent strip (NFD, drop combining marks) -> regex word
+tokens -> min-length filter -> bilingual (en+pt) stopword removal. No stemming by default:
+Matryoshka-dense + graph channels cover morphology recall, and exactness helps BM25 precision.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from .config import RAGConfig, get_settings
+
+# Compact bilingual stopword lists (mirroring the reference's PT/EN orientation,
+# query_planner.py:199-227 and Postgres 'portuguese'/'english' FTS configs).
+_EN_STOPWORDS = frozenset(
+    """a an and are as at be been but by for from had has have he her his i if in into is it its
+    me my no nor not of on or our she so than that the their them then there these they this to
+    up us was we were what when where which who whom why will with would you your""".split()
+)
+_PT_STOPWORDS = frozenset(
+    """a as ao aos aquela aquele com como da das de dela dele delas deles do dos e ela elas ele
+    eles em entre era essa esse esta este eu foi ha isso isto ja la lhe mais mas me mesmo
+    minha muito na nao nas nem no nos nossa nosso num numa o os ou para pela pelo por qual quando
+    que quem sao se sem ser seu sua tambem te tem um uma voce vos""".split()
+)
+
+_TOKEN_RE = re.compile(r"[0-9a-zA-ZÀ-ɏ]+")
+
+
+def strip_accents(text: str) -> str:
+    """NFD-decompose and drop combining marks (host-side; matches pg unaccent behavior)."""
+    return "".join(c for c in unicodedata.normalize("NFD", text) if not unicodedata.combining(c))
+
+
+@dataclass
+class Analyzer:
+    """Stateless text -> token-string pipeline."""
+
+    config: RAGConfig = field(default_factory=get_settings)
+
+    def __post_init__(self) -> None:
+        stop: set[str] = set()
+        if "en" in self.config.analyzer_languages:
+            stop |= _EN_STOPWORDS
+        if "pt" in self.config.analyzer_languages:
+            stop |= _PT_STOPWORDS
+        if self.config.analyzer_strip_accents:
+            stop = {strip_accents(s) for s in stop}
+        self._stopwords = frozenset(stop)
+
+    def tokenize(self, text: str) -> List[str]:
+        """Full pipeline: normalize, split, filter stopwords and short tokens."""
+        text = text.lower()
+        if self.config.analyzer_strip_accents:
+            text = strip_accents(text)
+        min_len = self.config.analyzer_min_token_len
+        return [
+            t
+            for t in _TOKEN_RE.findall(text)
+            if len(t) >= min_len and t not in self._stopwords
+        ]
+
+    def keywords(self, query: str, max_keywords: int = 10) -> List[str]:
+        """Stopword-filtered keyword extraction for query planning
+        (reference core/query_planner.py:199-227 semantics: order-preserving, deduped)."""
+        seen: set[str] = set()
+        out: List[str] = []
+        for t in self.tokenize(query):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+            if len(out) >= max_keywords:
+                break
+        return out
+
+
+class Vocabulary:
+    """Append-only term <-> id mapping built at index time.
+
+    Term id 0..V-1; out-of-vocabulary query terms map to -1 and are masked out on device.
+    """
+
+    def __init__(self) -> None:
+        self._term_to_id: Dict[str, int] = {}
+        self._terms: List[str] = []
+
+    def __len__(self) -> int:
+        return len(self._terms)
+
+    def add(self, term: str) -> int:
+        tid = self._term_to_id.get(term)
+        if tid is None:
+            tid = len(self._terms)
+            self._term_to_id[term] = tid
+            self._terms.append(term)
+        return tid
+
+    def get(self, term: str) -> int:
+        """-1 if unknown (masked on device)."""
+        return self._term_to_id.get(term, -1)
+
+    def term(self, tid: int) -> str:
+        return self._terms[tid]
+
+    @property
+    def terms(self) -> Sequence[str]:
+        return self._terms
+
+    def encode(self, tokens: Iterable[str], add: bool = False) -> List[int]:
+        if add:
+            return [self.add(t) for t in tokens]
+        return [self.get(t) for t in tokens]
+
+    # -- persistence (index checkpointing) --
+    def to_list(self) -> List[str]:
+        return list(self._terms)
+
+    @classmethod
+    def from_list(cls, terms: Sequence[str]) -> "Vocabulary":
+        v = cls()
+        for t in terms:
+            v.add(t)
+        return v
+
+
+def term_frequencies(token_ids: Sequence[int]) -> Dict[int, int]:
+    """tf map over one document's token ids (OOV -1 excluded)."""
+    tf: Dict[int, int] = {}
+    for t in token_ids:
+        if t >= 0:
+            tf[t] = tf.get(t, 0) + 1
+    return tf
+
+
+# Trigram utilities for fuzzy entity-name matching (replaces pg_trgm GIN index,
+# reference triple-hybrid-rag/database/schema.sql entity-name trigram index).
+
+def trigrams(s: str) -> frozenset[str]:
+    s = "  " + strip_accents(s.lower()) + " "
+    return frozenset(s[i : i + 3] for i in range(len(s) - 2))
+
+
+def trigram_similarity(a: str, b: str) -> float:
+    """Jaccard similarity over character trigrams (pg_trgm `similarity()` analogue)."""
+    ta, tb = trigrams(a), trigrams(b)
+    if not ta or not tb:
+        return 0.0
+    return len(ta & tb) / len(ta | tb)

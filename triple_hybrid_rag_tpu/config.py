@@ -1,0 +1,187 @@
+"""Static configuration for the TPU-native triple-hybrid retrieval engine.
+
+Design
+------
+The reference framework (``/root/reference/triple-hybrid-rag/src/triple_hybrid_rag/config.py:15``
+and ``/root/reference/src/voice_agent/config.py:282-340``) exposes every capability as an
+independently toggleable pydantic setting read from ``RAG_*`` environment variables.
+
+On TPU the analogue is a *frozen, hashable dataclass*: the config is static w.r.t. tracing, so
+each distinct configuration specializes its own jit-compiled pipeline (channel enables become
+compile-time branches, top-k values become static shapes). ``RAGConfig`` is therefore:
+
+- immutable (``frozen=True``) and hashable → usable as a static jit argument,
+- constructed from the environment via :meth:`RAGConfig.from_env` for drop-in env-var parity,
+- tweaked per-call with :func:`dataclasses.replace`.
+
+Defaults mirror the reference: channel weights lexical 0.7 / semantic 0.8 / graph 1.0, RRF k=60,
+safety threshold 0.6, denoise alpha 0.6, channel top-k 50/100/50, rerank 20, final 5
+(``/root/reference/src/voice_agent/config.py:305-314``), parent/child chunk sizing
+(``:298-300``), Matryoshka 2048->1024 truncation semantics
+(``/root/reference/triple-hybrid-rag/src/triple_hybrid_rag/core/embedder.py:58-77``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name)
+    return int(raw) if raw is not None else default
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.environ.get(name)
+    return float(raw) if raw is not None else default
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+@dataclass(frozen=True)
+class RAGConfig:
+    """Frozen, hashable configuration. Static fields specialize compiled pipelines."""
+
+    # ---- channel enables (reference: per-channel feature flags) ----
+    lexical_enabled: bool = True
+    semantic_enabled: bool = True
+    graph_enabled: bool = True
+    rerank_enabled: bool = True
+    denoise_enabled: bool = True
+    safety_enabled: bool = True
+    conformal_denoise_enabled: bool = False  # standalone-lib percentile variant (fusion.py:218)
+    ner_enabled: bool = True
+
+    # ---- RRF fusion (reference fusion.py:22, retrieval.py:358-376) ----
+    rrf_k: int = 60
+    lexical_weight: float = 0.7
+    semantic_weight: float = 0.8
+    graph_weight: float = 1.0
+
+    # ---- safety / denoising (reference retrieval.py:461-495) ----
+    safety_threshold: float = 0.6
+    denoise_alpha: float = 0.6
+    conformal_alpha: float = 0.6  # percentile variant: keep score >= pct(scores, (1-a)*100)
+
+    # ---- channel top-k (reference config.py:310-314) ----
+    lexical_top_k: int = 50
+    semantic_top_k: int = 100
+    graph_top_k: int = 50
+    rerank_top_k: int = 20
+    final_top_k: int = 5
+
+    # ---- chunking (reference rag2/chunker.py:30-51) ----
+    parent_chunk_tokens: int = 1000
+    parent_chunk_min_tokens: int = 800
+    child_chunk_tokens: int = 200
+    child_chunk_overlap_tokens: int = 50
+    child_token_buffer_pct: float = 0.2  # children may run 20% over (lib core/chunker.py:34)
+    use_tiktoken: bool = False  # reference prod uses len//4 heuristic; lib uses tiktoken
+
+    # ---- embeddings (reference embedder.py:31-120) ----
+    embedding_dim_full: int = 2048  # model-native dim before Matryoshka truncation
+    embedding_dim: int = 1024  # Matryoshka prefix-truncated + re-L2-normalized
+    embedding_dtype: str = "bfloat16"  # HBM-resident matrix dtype
+    embedding_batch_size: int = 20
+
+    # ---- lexical / BM25 engine (TPU-native replacement for Postgres FTS) ----
+    bm25_k1: float = 1.5
+    bm25_b: float = 0.75
+    max_query_terms: int = 32  # static query-term slots (padded/masked)
+    doc_term_capacity: int = 128  # doc-major term-table width (per-child unique-term cap)
+    lexical_backend: str = "auto"  # "postings" | "termtable" | "auto"
+
+    # ---- graph channel (TPU-native replacement for PuppyGraph) ----
+    graph_hops: int = 2  # k-hop expansion depth (puppygraph.py:130-167)
+    graph_max_degree: int = 64  # padded adjacency width
+    graph_max_entities_per_chunk: int = 16
+    graph_fuzzy_threshold: float = 0.35  # trigram-jaccard entity name matching
+
+    # ---- rerank / late interaction (SURVEY §5.7) ----
+    rerank_backend: str = "maxsim"  # "maxsim" | "dot" | "none"
+    maxsim_doc_tokens: int = 64  # stored token-level embeddings per parent chunk
+    maxsim_query_tokens: int = 32
+    maxsim_dim: int = 128  # reduced dim for token-level embeddings
+    rerank_max_candidates: int = 50  # reference reranker.py:383 caps at 50
+
+    # ---- sharding / parallelism ----
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axis_names: Tuple[str, ...] = ("shard",)
+    shard_axis: str = "shard"  # corpus-sharding mesh axis
+    data_axis: Optional[str] = None  # query-batch data-parallel axis (None = unsharded)
+
+    # ---- capacity (XLA static shapes: capacity-padded arrays + occupancy masks) ----
+    chunk_capacity: int = 0  # 0 = size to corpus at build time (rounded up)
+    capacity_round: int = 1024  # round capacities to multiples of this
+
+    # ---- planner ----
+    planner_backend: str = "rules"  # "rules" | "llm" (llm is a pluggable host callable)
+
+    # ---- analyzer ----
+    analyzer_languages: Tuple[str, ...] = ("en", "pt")
+    analyzer_strip_accents: bool = True
+    analyzer_min_token_len: int = 2
+    vocab_hash_buckets: int = 32768  # encoder-model token hashing
+
+    # ---- observability ----
+    metrics_enabled: bool = True
+    timings_enabled: bool = True
+
+    @classmethod
+    def from_env(cls, **overrides: object) -> "RAGConfig":
+        """Build a config from ``RAG_*`` environment variables (reference env parity)."""
+        base = cls()
+        env_map: dict[str, object] = {}
+        for f in dataclasses.fields(cls):
+            env_name = "RAG_" + f.name.upper()
+            if os.environ.get(env_name) is None:
+                continue
+            default = getattr(base, f.name)
+            if isinstance(default, bool):
+                env_map[f.name] = _env_bool(env_name, default)
+            elif isinstance(default, int):
+                env_map[f.name] = _env_int(env_name, default)
+            elif isinstance(default, float):
+                env_map[f.name] = _env_float(env_name, default)
+            elif isinstance(default, str):
+                env_map[f.name] = _env_str(env_name, default)
+            # tuple-typed fields are not env-configurable
+        env_map.update(overrides)
+        return dataclasses.replace(base, **env_map)  # type: ignore[arg-type]
+
+    def replace(self, **kw: object) -> "RAGConfig":
+        return dataclasses.replace(self, **kw)  # type: ignore[arg-type]
+
+    def round_capacity(self, n: int) -> int:
+        """Round a corpus size up to the capacity granularity (static-shape padding)."""
+        r = self.capacity_round
+        return max(r, ((n + r - 1) // r) * r)
+
+
+_SETTINGS: Optional[RAGConfig] = None
+
+
+def get_settings() -> RAGConfig:
+    """Singleton config (reference ``get_settings()`` lru_cache parity, config.py:282)."""
+    global _SETTINGS
+    if _SETTINGS is None:
+        _SETTINGS = RAGConfig.from_env()
+    return _SETTINGS
+
+
+def reset_settings() -> None:
+    """Clear the singleton (reference ``reset_settings()`` test hook, config.py:299)."""
+    global _SETTINGS
+    _SETTINGS = None
