@@ -8,10 +8,19 @@ without TPU hardware (SURVEY.md §4.2). Must run before the first ``import jax``
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment pre-imports jax and force-selects an 'axon' TPU platform via
+# sitecustomize (JAX_PLATFORMS=axon in the outer env). Backends initialize lazily, so
+# overriding the config here — before any array is created — pins the suite to the
+# virtual 8-device CPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,204 @@
+"""BM25 index build: corpus -> device arrays (both lexical layouts).
+
+The host-side analogue of Postgres building its GIN index over ``to_tsvector`` columns
+(``/root/reference/database/migrations/20260114_rag2_schema.sql:146-152,184``): run once per
+(re)build, all subsequent queries are pure device compute. Produces both the CSR postings
+layout and the doc-major term table (see ``ops/bm25.py`` for the layout rationale) from a
+single pass over tokenized children.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..analyzer import Analyzer, Vocabulary
+from ..config import RAGConfig
+from ..ops.bm25 import (
+    DOC_PAD,
+    QUERY_PAD,
+    score_postings,
+    score_termtable,
+)
+from ..ops.topk import masked_top_k
+
+
+@dataclass
+class BM25Index:
+    """Device-resident lexical index. All arrays are jnp; static ints specialize jits."""
+
+    # CSR postings layout
+    offsets: jax.Array  # i32[V + 1]
+    lengths: jax.Array  # i32[V]
+    postings_doc: jax.Array  # i32[nnz + l_max]
+    postings_tf: jax.Array  # f32[nnz + l_max]
+    # doc-major term-table layout
+    term_ids: jax.Array  # i32[n_pad, L]
+    term_weights: jax.Array  # f32[n_pad, L] precomputed BM25 contributions
+    # shared per-doc stats
+    contrib_denom_k1: jax.Array  # f32[n_pad]
+    idf: jax.Array  # f32[V]
+    # static metadata
+    n_docs: int
+    n_pad: int
+    l_max: int  # max document frequency (postings window)
+    vocab: Vocabulary
+    config: RAGConfig
+    overflow_docs: int = 0  # docs whose unique terms exceeded doc_term_capacity
+
+    def encode_query(self, keywords: Sequence[str]) -> np.ndarray:
+        """Keywords -> padded i32[max_query_terms] term-id vector (OOV/pad = -1).
+
+        Host-side query analysis, mirroring ``plainto_tsquery`` at the SQL boundary."""
+        q = self.config.max_query_terms
+        ids: List[int] = []
+        seen: set[int] = set()
+        for kw in keywords:
+            tid = self.vocab.get(kw)
+            if tid >= 0 and tid not in seen:
+                seen.add(tid)
+                ids.append(tid)
+            if len(ids) >= q:
+                break
+        out = np.full((q,), QUERY_PAD, dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
+    def score(self, query_terms: jax.Array, backend: Optional[str] = None) -> jax.Array:
+        """Dense f32[n_pad] BM25 scores for one padded query-term vector."""
+        backend = backend or self.config.lexical_backend
+        if backend == "auto":
+            # postings wins when the corpus is large relative to matched postings;
+            # termtable wins once scatter cost dominates (big corpora, many queries).
+            backend = "termtable" if self.n_docs >= 4096 else "postings"
+        if backend == "postings":
+            return score_postings(
+                self.offsets,
+                self.lengths,
+                self.postings_doc,
+                self.postings_tf,
+                self.contrib_denom_k1,
+                self.idf,
+                jnp.float32(self.config.bm25_k1 + 1.0),
+                query_terms,
+                l_max=self.l_max,
+                n_pad=self.n_pad,
+            )
+        if backend == "termtable":
+            return score_termtable(self.term_ids, self.term_weights, query_terms)
+        raise ValueError(f"unknown lexical backend {backend!r}")
+
+    def search(
+        self, keywords: Sequence[str], top_k: Optional[int] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Full lexical channel: keywords -> (ids i32[k], scores f32[k]).
+
+        Replaces the ``rag2_lexical_search`` SQL RPC
+        (20260114_rag2_schema.sql:341-374)."""
+        k = top_k or self.config.lexical_top_k
+        qt = jnp.asarray(self.encode_query(keywords))
+        return masked_top_k(self.score(qt), k)
+
+
+def tokenize_corpus(
+    texts: Sequence[str], analyzer: Analyzer, vocab: Optional[Vocabulary] = None
+) -> Tuple[List[List[int]], Vocabulary]:
+    """Tokenize + encode all documents, growing the vocabulary."""
+    vocab = vocab or Vocabulary()
+    return [vocab.encode(analyzer.tokenize(t), add=True) for t in texts], vocab
+
+
+def build_bm25_index(
+    texts: Sequence[str],
+    config: RAGConfig,
+    analyzer: Optional[Analyzer] = None,
+    vocab: Optional[Vocabulary] = None,
+    token_ids: Optional[List[List[int]]] = None,
+) -> BM25Index:
+    """Build the lexical index from child-chunk texts (single pass, NumPy host build)."""
+    analyzer = analyzer or Analyzer(config)
+    if token_ids is None:
+        token_ids, vocab = tokenize_corpus(texts, analyzer, vocab)
+    assert vocab is not None
+    n_docs = len(token_ids)
+    n_pad = config.round_capacity(max(n_docs, 1))
+    vsize = max(len(vocab), 1)
+
+    # per-doc tf maps and lengths
+    doc_tfs: List[Dict[int, int]] = []
+    doc_lengths = np.zeros((n_pad,), dtype=np.float32)
+    for d, toks in enumerate(token_ids):
+        tf: Dict[int, int] = {}
+        for t in toks:
+            if t >= 0:
+                tf[t] = tf.get(t, 0) + 1
+        doc_tfs.append(tf)
+        doc_lengths[d] = len(toks)
+    avgdl = float(doc_lengths[:n_docs].mean()) if n_docs else 1.0
+
+    # document frequency and CSR assembly (term-major)
+    df = np.zeros((vsize,), dtype=np.int64)
+    for tf in doc_tfs:
+        for t in tf:
+            df[t] += 1
+    l_max = int(df.max()) if n_docs else 1
+    l_max = max(l_max, 1)
+    offsets = np.zeros((vsize + 1,), dtype=np.int32)
+    np.cumsum(df, out=offsets[1:])
+    nnz = int(offsets[-1])
+    postings_doc = np.full((nnz + l_max,), n_pad, dtype=np.int32)
+    postings_tf = np.zeros((nnz + l_max,), dtype=np.float32)
+    cursor = offsets[:-1].copy()
+    for d, tf in enumerate(doc_tfs):
+        for t, cnt in tf.items():
+            postings_doc[cursor[t]] = d
+            postings_tf[cursor[t]] = cnt
+            cursor[t] += 1
+
+    # shared stats — pure NumPy on host: the build path must not issue eager device ops
+    # (each one is a dispatch; prohibitive over remote-TPU links)
+    denom = (
+        config.bm25_k1
+        * (1.0 - config.bm25_b + config.bm25_b * doc_lengths / max(avgdl, 1e-6))
+    ).astype(np.float32)
+    idf = np.log1p((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
+
+    # doc-major term table with precomputed contributions; overflow keeps top-L by weight
+    L = config.doc_term_capacity
+    term_ids = np.full((n_pad, L), DOC_PAD, dtype=np.int32)
+    term_weights = np.zeros((n_pad, L), dtype=np.float32)
+    k1p1 = config.bm25_k1 + 1.0
+    overflow = 0
+    for d, tf in enumerate(doc_tfs):
+        if not tf:
+            continue
+        ts = np.fromiter(tf.keys(), dtype=np.int32, count=len(tf))
+        cs = np.fromiter(tf.values(), dtype=np.float32, count=len(tf))
+        w = idf[ts] * cs * k1p1 / (cs + denom[d])
+        if len(ts) > L:
+            overflow += 1
+            keep = np.argsort(-w)[:L]
+            ts, w = ts[keep], w[keep]
+        term_ids[d, : len(ts)] = ts
+        term_weights[d, : len(ts)] = w
+
+    return BM25Index(
+        offsets=jnp.asarray(offsets),
+        lengths=jnp.asarray(df.astype(np.int32)),
+        postings_doc=jnp.asarray(postings_doc),
+        postings_tf=jnp.asarray(postings_tf),
+        term_ids=jnp.asarray(term_ids),
+        term_weights=jnp.asarray(term_weights),
+        contrib_denom_k1=jnp.asarray(denom),
+        idf=jnp.asarray(idf),
+        n_docs=n_docs,
+        n_pad=n_pad,
+        l_max=l_max,
+        vocab=vocab,
+        config=config,
+        overflow_docs=overflow,
+    )

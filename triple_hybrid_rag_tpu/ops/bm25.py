@@ -1,0 +1,124 @@
+"""Device-resident BM25 scoring: the TPU-native lexical channel.
+
+Replaces PostgreSQL full-text search — the GIN-index postings scan and ``ts_rank_cd`` scoring
+inside ``rag2_lexical_search`` (``/root/reference/database/migrations/20260114_rag2_schema.sql:341-374``).
+Exact score parity with ``ts_rank_cd`` is impossible (different formula); we implement Okapi
+BM25 and target rank-quality parity (SURVEY.md §7 hard part (d)).
+
+Two interchangeable device layouts, validated against each other and a NumPy oracle:
+
+1. **CSR postings, term-at-a-time** (:func:`score_postings`): classic inverted index as three
+   flat arrays (offsets / doc ids / tfs). Each of the ``Q`` query-term slots dynamic-slices a
+   fixed ``l_max`` window out of the flat postings (contiguous -> DMA-friendly), masks by the
+   true df, and scatter-adds contributions into a dense score vector. Minimal HBM traffic
+   (reads only the query terms' postings) but relies on XLA scatter; best for small/medium
+   corpora and CPU tests.
+
+2. **Doc-major term table** (:func:`score_termtable`): each document row stores its unique
+   terms ``term_ids[N, L]`` alongside *precomputed query-independent BM25 contributions*
+   ``term_weights[N, L]`` (idf and length normalization folded in at build time). A query is
+   a membership test: ``score[d] = sum_l w[d,l] * [ids[d,l] in query]``. Pure VPU compare+
+   select+reduce over contiguous memory — no gather, no scatter, trivially shardable and
+   batchable, and the layout the Pallas lexical kernel consumes. This is the production path
+   at 1M-chunk scale.
+
+Both paths use static shapes throughout: query terms are padded to ``max_query_terms`` slots
+with a -1 sentinel (OOV terms map to -1 and are masked), scores are dense over the padded
+capacity, and invalid documents simply score 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["score_postings", "score_termtable", "QUERY_PAD", "DOC_PAD"]
+
+QUERY_PAD = -1  # query slot sentinel (also the OOV term id)
+DOC_PAD = -2  # term-table pad sentinel; distinct from QUERY_PAD so pads never match
+
+
+@functools.partial(jax.jit, static_argnames=("l_max", "n_pad"))
+def score_postings(
+    offsets: jax.Array,  # i32[V + 1] CSR term offsets into the flat postings
+    lengths: jax.Array,  # i32[V] per-term document frequency
+    postings_doc: jax.Array,  # i32[nnz_pad] doc row per posting (tail-padded by l_max)
+    postings_tf: jax.Array,  # f32[nnz_pad] term frequency per posting
+    contrib_denom_k1: jax.Array,  # f32[n_pad] per-doc k1*(1-b+b*dl/avgdl)
+    idf: jax.Array,  # f32[V] per-term idf
+    k1_plus1: jax.Array,  # f32[] scalar k1+1
+    query_terms: jax.Array,  # i32[Q] padded query term ids (-1 = empty slot)
+    *,
+    l_max: int,  # static: max document frequency (postings window width)
+    n_pad: int,  # static: padded corpus capacity
+) -> jax.Array:
+    """Term-at-a-time CSR scoring. Returns dense f32[n_pad] BM25 scores."""
+    q_slots = query_terms.shape[0]
+    positions = jnp.arange(l_max, dtype=jnp.int32)
+
+    def body(q: jax.Array, scores: jax.Array) -> jax.Array:
+        t_raw = query_terms[q]
+        q_valid = t_raw >= 0
+        t = jnp.where(q_valid, t_raw, 0)
+        start = offsets[t]
+        df = lengths[t]
+        docs = jax.lax.dynamic_slice(postings_doc, (start,), (l_max,))
+        tfs = jax.lax.dynamic_slice(postings_tf, (start,), (l_max,))
+        valid = (positions < df) & q_valid
+        denom = contrib_denom_k1[jnp.clip(docs, 0, n_pad - 1)]
+        contrib = idf[t] * tfs * k1_plus1 / (tfs + denom)
+        contrib = jnp.where(valid, contrib, 0.0)
+        # invalid postings scatter into the spill slot n_pad (dropped on return)
+        target = jnp.where(valid, docs, n_pad)
+        return scores.at[target].add(contrib, mode="drop")
+
+    scores = jax.lax.fori_loop(
+        0, q_slots, body, jnp.zeros((n_pad + 1,), jnp.float32), unroll=True
+    )
+    return scores[:n_pad]
+
+
+@jax.jit
+def score_termtable(
+    term_ids: jax.Array,  # i32[N, L] unique terms per doc (DOC_PAD = empty slot)
+    term_weights: jax.Array,  # f32|bf16[N, L] precomputed BM25 contribution per (doc, term)
+    query_terms: jax.Array,  # i32[Q] padded query term ids (QUERY_PAD = empty slot)
+) -> jax.Array:
+    """Doc-major membership scoring. Returns dense f32[N] BM25 scores.
+
+    The (N, L, Q) comparison is expressed as a broadcast so XLA fuses the equality, the
+    any-reduce, and the weighted sum into a single pass over the term table (verified via
+    jaxpr/fusion inspection; the Pallas variant in ``ops/pallas`` makes the fusion explicit).
+    """
+    # [N, L, Q]: does doc term (d, l) equal any query term? DOC_PAD never equals QUERY_PAD.
+    match = (term_ids[:, :, None] == query_terms[None, None, :]).any(axis=-1)
+    return jnp.sum(
+        jnp.where(match, term_weights.astype(jnp.float32), 0.0), axis=1
+    )
+
+
+def score_termtable_batch(
+    term_ids: jax.Array,
+    term_weights: jax.Array,
+    query_terms_batch: jax.Array,  # i32[B, Q]
+) -> jax.Array:
+    """Batched variant: scores f32[B, N]. One streaming pass over the table per vmap lane;
+    XLA shares the table read across the batch where possible."""
+    return jax.vmap(lambda qt: score_termtable(term_ids, term_weights, qt))(
+        query_terms_batch
+    )
+
+
+def bm25_idf(n_docs: int | jax.Array, df: jax.Array) -> jax.Array:
+    """Okapi BM25 idf with the +1 smoothing that keeps it positive."""
+    return jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_denom_k1(
+    doc_lengths: jax.Array, avgdl: jax.Array, k1: float, b: float
+) -> jax.Array:
+    """Per-document ``k1 * (1 - b + b * dl / avgdl)`` — the tf-saturation denominator."""
+    return k1 * (1.0 - b + b * doc_lengths / jnp.maximum(avgdl, 1e-6))
