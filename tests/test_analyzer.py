@@ -35,7 +35,21 @@ def test_min_token_len():
 def test_keywords_order_and_dedup():
     a = Analyzer(RAGConfig())
     kws = a.keywords("payment terms payment conditions of the contract", max_keywords=3)
-    assert kws == ["payment", "terms", "conditions"]
+    assert kws == ["payment", "term", "condition"]  # light-stemmed, order-preserving
+
+
+def test_stemming():
+    from triple_hybrid_rag_tpu.analyzer import s_stem
+
+    assert s_stem("receipts") == "receipt"
+    assert s_stem("contratos") == "contrato"
+    assert s_stem("policies") == "policy"
+    assert s_stem("nacoes") == "nacao"  # accent-stripped nações
+    assert s_stem("class") == "class"  # -ss preserved
+    assert s_stem("bonus") == "bonus"  # -us preserved
+    assert s_stem("does") == "doe"  # conservative; consistency is what matters
+    a = Analyzer(RAGConfig(analyzer_stemming="none"))
+    assert "receipts" in a.tokenize("receipts")
 
 
 def test_strip_accents():

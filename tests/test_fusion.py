@@ -1,0 +1,202 @@
+"""Fusion op tests vs a pure-Python RRF oracle (reference semantics:
+rag2/retrieval.py:358-376, core/fusion.py:52-247)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from triple_hybrid_rag_tpu.ops.fusion import (
+    GRAPH_BIT,
+    LEXICAL_BIT,
+    SEMANTIC_BIT,
+    apply_safety_denoise,
+    conformal_denoise_mask,
+    fuse_rrf,
+    minmax_normalize,
+)
+
+
+def pad_ids(ids, k):
+    out = np.full((k,), -1, dtype=np.int32)
+    out[: len(ids)] = ids
+    return jnp.asarray(out)
+
+
+def pad_scores(scores, k):
+    out = np.zeros((k,), dtype=np.float32)
+    out[: len(scores)] = scores
+    return jnp.asarray(out)
+
+
+def python_rrf_oracle(channels, weights, k=60):
+    """channels: dict name -> ranked id list. Returns dict id -> fused score."""
+    fused = {}
+    for (name, ids), w in zip(channels.items(), weights):
+        for rank, cid in enumerate(ids, start=1):
+            fused[cid] = fused.get(cid, 0.0) + w / (k + rank)
+    return fused
+
+
+def test_fuse_matches_python_oracle():
+    lex = [3, 1, 4]
+    sem = [1, 5, 9, 2]
+    gr = [5, 3]
+    weights = (0.7, 0.8, 1.0)
+    oracle = python_rrf_oracle({"l": lex, "s": sem, "g": gr}, weights)
+
+    out = fuse_rrf(
+        pad_ids(lex, 8), pad_scores([3.0, 2.0, 1.0], 8),
+        pad_ids(sem, 8), pad_scores([0.9, 0.8, 0.7, 0.6], 8),
+        pad_ids(gr, 8), pad_scores([1.0, 0.5], 8),
+        jnp.asarray(weights, jnp.float32),
+        rrf_k=60, top_k=10,
+    )
+    ids = np.asarray(out.ids)
+    rrf = np.asarray(out.rrf)
+    got = {int(i): float(s) for i, s in zip(ids, rrf) if i >= 0}
+    assert set(got) == set(oracle)
+    for cid, score in oracle.items():
+        assert got[cid] == pytest.approx(score, rel=1e-5)
+    # sorted descending
+    valid_rrf = rrf[ids >= 0]
+    assert np.all(np.diff(valid_rrf) <= 1e-7)
+    # multi-channel candidates outrank single-channel ones with worse ranks
+    assert ids[0] in (1, 5, 3)
+
+
+def test_channel_bitmask_and_raw_scores():
+    out = fuse_rrf(
+        pad_ids([7], 4), pad_scores([2.5], 4),
+        pad_ids([7, 8], 4), pad_scores([0.9, 0.3], 4),
+        pad_ids([8], 4), pad_scores([0.6], 4),
+        jnp.asarray([0.7, 0.8, 1.0], jnp.float32),
+        top_k=4,
+    )
+    ids = np.asarray(out.ids)
+    by_id = {int(i): j for j, i in enumerate(ids) if i >= 0}
+    assert np.asarray(out.channels)[by_id[7]] == LEXICAL_BIT | SEMANTIC_BIT
+    assert np.asarray(out.channels)[by_id[8]] == SEMANTIC_BIT | GRAPH_BIT
+    assert np.asarray(out.lexical)[by_id[7]] == pytest.approx(2.5)
+    assert np.asarray(out.semantic)[by_id[7]] == pytest.approx(0.9)
+    assert np.asarray(out.graph)[by_id[8]] == pytest.approx(0.6)
+    assert np.asarray(out.lexical)[by_id[8]] == 0.0
+
+
+def test_dedup_single_output_per_id():
+    out = fuse_rrf(
+        pad_ids([1, 2], 4), pad_scores([2, 1], 4),
+        pad_ids([1, 2], 4), pad_scores([0.9, 0.8], 4),
+        pad_ids([1, 2], 4), pad_scores([0.7, 0.6], 4),
+        jnp.asarray([1.0, 1.0, 1.0], jnp.float32),
+        top_k=12,
+    )
+    ids = np.asarray(out.ids)
+    vals = ids[ids >= 0]
+    assert sorted(vals.tolist()) == [1, 2]
+
+
+def test_empty_channels():
+    out = fuse_rrf(
+        pad_ids([], 4), pad_scores([], 4),
+        pad_ids([], 4), pad_scores([], 4),
+        pad_ids([], 4), pad_scores([], 4),
+        jnp.asarray([0.7, 0.8, 1.0], jnp.float32),
+        top_k=4,
+    )
+    assert np.all(np.asarray(out.ids) == -1)
+    assert np.all(np.asarray(out.rrf) == 0.0)
+
+
+def test_weights_zero_channel_disabled():
+    """weight 0 removes a channel's influence (reference: plan weights may zero graph)."""
+    out = fuse_rrf(
+        pad_ids([1], 4), pad_scores([1.0], 4),
+        pad_ids([2], 4), pad_scores([0.9], 4),
+        pad_ids([3], 4), pad_scores([0.8], 4),
+        jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
+        top_k=4,
+    )
+    ids, rrf = np.asarray(out.ids), np.asarray(out.rrf)
+    by_id = {int(i): float(r) for i, r in zip(ids, rrf) if i >= 0}
+    assert by_id[3] == 0.0  # still a candidate, but zero fused score
+
+
+# ---------------------------------------------------------------------------
+# safety / denoise (reference rag2/retrieval.py:461-495)
+# ---------------------------------------------------------------------------
+
+
+def test_safety_refuses_below_threshold():
+    r = apply_safety_denoise(
+        pad_ids([1, 2], 8), pad_scores([0.5, 0.4], 8),
+        jnp.float32(0.6), jnp.float32(0.6), top_k=4,
+    )
+    assert bool(r.refused)
+    assert float(r.max_score) == pytest.approx(0.5)
+    assert np.all(np.asarray(r.ids) == -1)
+
+
+def test_safety_passes_and_denoises():
+    r = apply_safety_denoise(
+        pad_ids([1, 2, 3, 4], 8), pad_scores([0.9, 0.8, 0.5, 0.2], 8),
+        jnp.float32(0.6), jnp.float32(0.6), top_k=4,
+    )
+    assert not bool(r.refused)
+    ids = np.asarray(r.ids)
+    # alpha*max = 0.54 -> keep 0.9, 0.8; drop 0.5, 0.2
+    assert ids[0] == 1 and ids[1] == 2
+    assert np.all(ids[2:] == -1)
+
+
+def test_safety_empty_input_refuses():
+    r = apply_safety_denoise(
+        pad_ids([], 4), pad_scores([], 4), jnp.float32(0.6), jnp.float32(0.6), top_k=4
+    )
+    assert bool(r.refused)
+    assert float(r.max_score) == 0.0
+
+
+def test_safety_top_k_truncation():
+    r = apply_safety_denoise(
+        pad_ids([1, 2, 3], 8), pad_scores([0.9, 0.89, 0.88], 8),
+        jnp.float32(0.6), jnp.float32(0.5), top_k=2,
+    )
+    ids = np.asarray(r.ids)
+    assert (ids >= 0).sum() == 2 and ids[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# conformal denoising (lib variant, core/fusion.py:218-247)
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_matches_numpy_percentile():
+    scores = [0.9, 0.7, 0.5, 0.3, 0.1]
+    alpha = 0.6
+    thresh = np.percentile(scores, (1 - alpha) * 100)
+    keep = conformal_denoise_mask(
+        pad_ids([1, 2, 3, 4, 5], 8), pad_scores(scores, 8), jnp.float32(alpha)
+    )
+    keep = np.asarray(keep)
+    expected = np.array([s >= thresh for s in scores])
+    np.testing.assert_array_equal(keep[:5], expected)
+    assert not keep[5:].any()
+
+
+def test_conformal_skips_below_three():
+    keep = conformal_denoise_mask(
+        pad_ids([1, 2], 8), pad_scores([0.9, 0.1], 8), jnp.float32(0.6)
+    )
+    keep = np.asarray(keep)
+    assert keep[:2].all()  # identity when < 3 results
+
+
+def test_minmax_normalize():
+    ids = pad_ids([1, 2, 3], 8)
+    out = np.asarray(minmax_normalize(ids, pad_scores([2.0, 1.0, 0.5], 8)))
+    assert out[0] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(0.0)
+    assert 0.0 < out[1] < 1.0
+    # all-equal -> 1.0
+    out2 = np.asarray(minmax_normalize(ids, pad_scores([0.4, 0.4, 0.4], 8)))
+    np.testing.assert_allclose(out2[:3], 1.0)

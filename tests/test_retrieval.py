@@ -1,0 +1,168 @@
+"""End-to-end retriever tests on an in-memory corpus (mirrors the coverage model of
+reference tests/test_rag2_triple_hybrid.py:22-70 — channel fusion, isolation, weights —
+and test_rag2_e2e.py — deterministic embeddings, refusal)."""
+
+import numpy as np
+import pytest
+
+from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.corpus import CorpusStore
+from triple_hybrid_rag_tpu.models.embedder import BowHashEmbedder
+from triple_hybrid_rag_tpu.retrieval import Retriever
+
+DOCS = {
+    "payments.md": (
+        "# Payment Policy\n\n"
+        "Invoices must be settled within thirty days. Payment schedules follow the "
+        "quarterly billing cycle. Late payment incurs a two percent penalty fee. "
+        "All invoice disputes must be raised within ten business days."
+    ),
+    "contracts.md": (
+        "# Contract Terms\n\n"
+        "The termination clause requires ninety days written notice. Contract renewal "
+        "is automatic unless either party objects. Breach of contract voids the "
+        "renewal provision immediately."
+    ),
+    "wildlife.md": (
+        "# Forest Wildlife\n\n"
+        "Red foxes inhabit the northern forest alongside brown bears. The fox is a "
+        "small omnivorous mammal. Bears hibernate during the winter months."
+    ),
+}
+
+
+def build_corpus(cfg):
+    store = CorpusStore()
+    chunker = HierarchicalChunker(cfg)
+    for name, text in DOCS.items():
+        import hashlib
+
+        doc_id = hashlib.sha256(name.encode()).hexdigest()
+        parents, children = chunker.chunk_document(text, doc_id)
+        store.add_chunks(parents, children)
+    return store
+
+
+@pytest.fixture
+def cfg(small_config):
+    return small_config.replace(
+        graph_enabled=False,
+        embedding_dtype="float32",
+        safety_threshold=0.3,
+    )
+
+
+@pytest.fixture
+def retriever(cfg):
+    return Retriever(build_corpus(cfg), cfg)
+
+
+def test_dual_hybrid_end_to_end(retriever):
+    r = retriever.retrieve("invoice payment penalty")
+    assert not r.refused
+    assert r.results
+    top = r.results[0]
+    assert "payment" in top.text.lower() or "invoice" in top.text.lower()
+    assert top.parent_text  # parent expansion happened
+    assert set(top.source_channels) <= {"lexical", "semantic"}
+    assert len(top.source_channels) >= 1
+    # stage timings recorded (reference retrieval.py:139-191 parity)
+    for stage in ("planning_ms", "retrieval_ms", "fusion_ms", "expansion_ms",
+                  "rerank_ms", "safety_ms", "total_ms"):
+        assert stage in r.timings
+
+
+def test_channel_isolation_lexical_only(cfg):
+    c = cfg.replace(semantic_enabled=False)
+    r = Retriever(build_corpus(c), c).retrieve("termination notice")
+    assert not r.refused
+    assert all(res.source_channels == ("lexical",) for res in r.results)
+    assert all(res.semantic_score == 0.0 for res in r.results)
+
+
+def test_channel_isolation_semantic_only(cfg):
+    c = cfg.replace(lexical_enabled=False)
+    r = Retriever(build_corpus(c), c).retrieve("termination notice for contracts")
+    assert not r.refused
+    assert all(res.source_channels == ("semantic",) for res in r.results)
+
+
+def test_multi_channel_results_rank_higher(retriever):
+    """A chunk found by both channels should beat single-channel chunks (RRF property)."""
+    r = retriever.retrieve("fox forest")
+    both = [res for res in r.results if len(res.source_channels) == 2]
+    one = [res for res in r.results if len(res.source_channels) == 1]
+    if both and one:
+        assert max(b.rrf_score for b in both) >= max(o.rrf_score for o in one)
+
+
+def test_refusal_on_garbage_query(cfg):
+    c = cfg.replace(safety_threshold=0.99, rerank_backend="dot")
+    r = Retriever(build_corpus(c), c).retrieve("zzz qqq xyzzy")
+    assert r.refused
+    assert r.results == []
+    assert r.refusal_reason
+
+
+def test_denoise_drops_weak_tail(cfg):
+    c = cfg.replace(denoise_alpha=0.95, safety_threshold=0.0)
+    r = Retriever(build_corpus(c), c).retrieve("invoice payment")
+    assert not r.refused
+    scores = [res.final_score for res in r.results]
+    if len(scores) > 1:
+        assert min(scores) >= 0.95 * max(scores) - 1e-6
+
+
+def test_plan_weights_respected(cfg):
+    """Zero semantic weight -> semantic-only chunks get rrf 0 (still candidates)."""
+    store = build_corpus(cfg)
+    ret = Retriever(store, cfg)
+
+    class FixedPlanner:
+        def plan(self, q, collection=None):
+            from triple_hybrid_rag_tpu.types import QueryPlan
+
+            return QueryPlan(
+                original_query=q,
+                keywords=["invoice", "payment"],
+                semantic_query_text=q,
+                weights={"lexical": 1.0, "semantic": 0.0, "graph": 0.0},
+            )
+
+    ret.planner = FixedPlanner()
+    r = ret.retrieve("invoice payment")
+    for res in r.results:
+        if res.source_channels == ("semantic",):
+            assert res.rrf_score == 0.0
+
+
+def test_final_top_k_respected(retriever, cfg):
+    r = retriever.retrieve("payment invoice days", top_k=2)
+    assert len(r.results) <= 2
+
+
+def test_deterministic_across_runs(cfg):
+    r1 = Retriever(build_corpus(cfg), cfg).retrieve("contract renewal")
+    r2 = Retriever(build_corpus(cfg), cfg).retrieve("contract renewal")
+    assert [x.chunk_id for x in r1.results] == [x.chunk_id for x in r2.results]
+    np.testing.assert_allclose(
+        [x.final_score for x in r1.results], [x.final_score for x in r2.results]
+    )
+
+
+def test_context_text_property(retriever):
+    r = retriever.retrieve("payment schedule billing")
+    if r.results:
+        ctx = r.context_text
+        assert ctx
+        assert r.results[0].parent_text.split("\n")[0] in ctx or r.results[0].text in ctx
+
+
+def test_rerank_disabled_uses_rrf(cfg):
+    c = cfg.replace(rerank_enabled=False, safety_enabled=False, denoise_enabled=False)
+    r = Retriever(build_corpus(c), c).retrieve("invoice payment")
+    assert r.results
+    # final scores equal rrf scores when rerank+gates disabled
+    for res in r.results:
+        assert res.final_score == pytest.approx(res.rrf_score, rel=1e-5)

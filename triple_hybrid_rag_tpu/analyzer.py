@@ -46,6 +46,26 @@ def strip_accents(text: str) -> str:
     return "".join(c for c in unicodedata.normalize("NFD", text) if not unicodedata.combining(c))
 
 
+def s_stem(token: str) -> str:
+    """Light plural stemming (Harman S-stemmer + a Portuguese -oes rule).
+
+    The reference's Postgres FTS applies full snowball stemming ('portuguese'/'english'
+    configs); a conservative S-stemmer recovers most of that recall (receipts->receipt,
+    contratos->contrato, nacoes->nacao) without over-stemming. Applied identically at
+    index build and query time, so only consistency matters for ranking.
+    """
+    n = len(token)
+    if n > 4 and token.endswith("oes"):  # accent-stripped -ções/-ões plurals
+        return token[:-3] + "ao"
+    if n > 4 and token.endswith("ies") and token[-4] not in "ae":
+        return token[:-3] + "y"
+    if n > 3 and token.endswith("es") and token[-3] not in "aeo":
+        return token[:-1]
+    if n > 3 and token.endswith("s") and token[-2] not in "us":
+        return token[:-1]
+    return token
+
+
 @dataclass
 class Analyzer:
     """Stateless text -> token-string pipeline."""
@@ -63,13 +83,14 @@ class Analyzer:
         self._stopwords = frozenset(stop)
 
     def tokenize(self, text: str) -> List[str]:
-        """Full pipeline: normalize, split, filter stopwords and short tokens."""
+        """Full pipeline: normalize, split, filter stopwords and short tokens, stem."""
         text = text.lower()
         if self.config.analyzer_strip_accents:
             text = strip_accents(text)
         min_len = self.config.analyzer_min_token_len
+        stem = s_stem if self.config.analyzer_stemming == "light" else (lambda t: t)
         return [
-            t
+            stem(t)
             for t in _TOKEN_RE.findall(text)
             if len(t) >= min_len and t not in self._stopwords
         ]

@@ -133,6 +133,7 @@ class RAGConfig:
     analyzer_languages: Tuple[str, ...] = ("en", "pt")
     analyzer_strip_accents: bool = True
     analyzer_min_token_len: int = 2
+    analyzer_stemming: str = "light"  # "light" (S-stemmer) | "none"
     vocab_hash_buckets: int = 32768  # encoder-model token hashing
 
     # ---- observability ----

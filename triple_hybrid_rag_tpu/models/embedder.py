@@ -1,0 +1,146 @@
+"""Embedders: text -> fixed-dim vectors feeding the dense index.
+
+Reference behavior being reimplemented (``/root/reference/src/voice_agent/rag2/embedder.py:31-247``
+and ``triple-hybrid-rag/src/triple_hybrid_rag/core/embedder.py:24-331``):
+
+- batched embedding of chunk texts (batch 20 there; here batching is a device-side concern),
+- Matryoshka prefix truncation + re-L2-normalization (4096->1024 / 2048->1024),
+- ``embed_query`` must raise on failure while bulk ``embed_texts`` degrades gracefully
+  (zero vectors) so ingestion continues (embedder.py:129-133 zero-vector-on-error ladder).
+
+Three implementations:
+
+- :class:`HashEmbedder` — deterministic SHA-256-seeded Gaussian per text; identical text =>
+  identical vector. This is the reference's own E2E mock-embedding strategy promoted to a
+  first-class test/bench embedder (``/root/reference/tests/test_rag2_e2e.py:46-58``).
+- :class:`BowHashEmbedder` — normalized sum of per-token hash vectors (idf-weighted):
+  deterministic *and* carries real lexical-overlap similarity structure, so recall@k /
+  NDCG@k are measurable without a trained model.
+- ``EncoderEmbedder`` (``models/encoder.py``) — a flax transformer running batched on the
+  TPU mesh; the production path when no external embedding server is wired in.
+
+Any object satisfying :class:`Embedder` can be plugged in (e.g. an HTTP client to a real
+Qwen3-VL embedding server).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Protocol, Sequence
+
+import numpy as np
+
+from ..analyzer import Analyzer
+from ..config import RAGConfig, get_settings
+
+
+class Embedder(Protocol):
+    """Pluggable embedding interface (host boundary)."""
+
+    dim: int  # full (pre-Matryoshka) output dimension
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """f32[N, dim]; must not raise — failed items become zero vectors."""
+        ...
+
+    def embed_query(self, text: str) -> np.ndarray:
+        """f32[dim]; raises on failure (reference embed_query contract)."""
+        ...
+
+
+def _seed_from(text: str) -> int:
+    return int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:8], "little")
+
+
+class HashEmbedder:
+    """Deterministic per-text Gaussian embedding (reference E2E mock pattern)."""
+
+    def __init__(self, dim: int = 2048) -> None:
+        self.dim = dim
+
+    def _one(self, text: str) -> np.ndarray:
+        g = np.random.default_rng(_seed_from(text))
+        v = g.standard_normal(self.dim).astype(np.float32)
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        return np.stack([self._one(t) for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self._one(text)
+
+
+class BowHashEmbedder:
+    """Deterministic bag-of-words hash embedding with real similarity structure.
+
+    Each token hashes to a fixed Gaussian direction; a text embeds as the L2-normalized
+    tf-weighted sum. Texts sharing vocabulary are cosine-similar, so the dense channel
+    produces meaningful rankings without any trained weights — the hermetic stand-in for
+    the reference's external Qwen3-VL embedding server in tests and benchmarks.
+    """
+
+    def __init__(self, dim: int = 2048, config: Optional[RAGConfig] = None) -> None:
+        self.dim = dim
+        self.config = config or get_settings()
+        self._analyzer = Analyzer(self.config)
+        self._token_cache: dict[str, np.ndarray] = {}
+
+    def _token_vec(self, token: str) -> np.ndarray:
+        v = self._token_cache.get(token)
+        if v is None:
+            g = np.random.default_rng(_seed_from("tok\x00" + token))
+            v = g.standard_normal(self.dim).astype(np.float32)
+            v /= np.linalg.norm(v)
+            self._token_cache[token] = v
+        return v
+
+    def _one(self, text: str) -> np.ndarray:
+        tokens = self._analyzer.tokenize(text)
+        if not tokens:
+            return np.zeros(self.dim, np.float32)
+        acc = np.zeros(self.dim, np.float32)
+        for t in tokens:
+            acc += self._token_vec(t)
+        n = np.linalg.norm(acc)
+        return acc / n if n > 0 else acc
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        return np.stack([self._one(t) for t in texts])
+
+    def embed_query(self, text: str) -> np.ndarray:
+        v = self._one(text)
+        if not np.any(v):
+            raise ValueError(f"query produced no tokens to embed: {text!r}")
+        return v
+
+
+class FailSoftEmbedder:
+    """Wrapper adding the reference's graceful-degradation ladder to any embedder:
+    per-item failures in bulk embedding become zero vectors and are reported via
+    ``last_errors`` (reference core/embedder.py:129-133); query failures raise."""
+
+    def __init__(self, inner: Embedder) -> None:
+        self.inner = inner
+        self.dim = inner.dim
+        self.last_errors: List[int] = []
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        self.last_errors = []
+        try:
+            return self.inner.embed_texts(texts)
+        except Exception:
+            out = np.zeros((len(texts), self.dim), np.float32)
+            for i, t in enumerate(texts):
+                try:
+                    out[i] = self.inner.embed_query(t)
+                except Exception:
+                    self.last_errors.append(i)
+            return out
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self.inner.embed_query(text)

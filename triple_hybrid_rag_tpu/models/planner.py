@@ -1,0 +1,182 @@
+"""Query planner: query -> multi-channel retrieval plan.
+
+Reference: GPT-5 planning with a rule-based fallback
+(``/root/reference/src/voice_agent/rag2/query_planner.py:97-190`` and
+``triple-hybrid-rag/src/triple_hybrid_rag/core/query_planner.py:157-199``). The plan carries
+keywords (lexical), a reformulated semantic query, graph requirements, intent, and
+per-channel weights.
+
+Here the *rule-based* planner is the default and primary implementation (deterministic, zero
+external dependencies, microseconds on host); an LLM planner is a pluggable host callable
+satisfying the same interface — planning is inherently a host-side text task and never blocks
+the device pipeline. The rule heuristics mirror the reference's `_simple_plan` graph/intent
+triggers (graph indicators like relationship/between/works-for; intent from interrogative
+shape) extended with PT-language triggers, and entity-candidate extraction for the graph
+channel (capitalized spans replace the reference's LLM-generated Cypher)."""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Protocol
+
+from ..analyzer import Analyzer
+from ..config import RAGConfig, get_settings
+from ..types import QueryPlan
+
+# Graph-benefit indicators (EN + PT), extending the reference's `_simple_plan` list.
+_GRAPH_INDICATORS = (
+    "relationship",
+    "related",
+    "connected",
+    "connection",
+    "between",
+    "who",
+    "what company",
+    "which organization",
+    "works for",
+    "belongs to",
+    "part of",
+    "depends on",
+    "relacionado",
+    "relacionamento",
+    "conectado",
+    "entre",
+    "quem",
+    "qual empresa",
+    "pertence",
+    "trabalha para",
+    "faz parte",
+)
+
+_PROCEDURAL_PREFIXES = ("how do", "how to", "how can", "como fazer", "como posso", "como faço")
+_FACTUAL_PREFIXES = ("what is", "what are", "define", "o que é", "o que sao", "o que são", "defina")
+_COMPARATIVE_MARKERS = ("difference", "compare", " vs ", "versus", "diferença", "comparar")
+_ENTITY_LOOKUP_PREFIXES = ("who is", "who are", "quem é", "quem e", "quem sao", "quem são")
+
+# Capitalized multi-word spans (naive proper-noun detection for graph seeding).
+_ENTITY_SPAN_RE = re.compile(r"\b([A-ZÀ-Ý][\wÀ-ÿ&.-]+(?:\s+[A-ZÀ-Ý][\wÀ-ÿ&.-]+)*)\b")
+
+
+class QueryPlanner(Protocol):
+    """Planner interface; both rule-based and LLM-backed planners satisfy it."""
+
+    def plan(self, query: str, collection: Optional[str] = None) -> QueryPlan:
+        ...
+
+
+class RuleBasedPlanner:
+    """Deterministic heuristic planner (default backend)."""
+
+    def __init__(self, config: Optional[RAGConfig] = None) -> None:
+        self.config = config or get_settings()
+        self._analyzer = Analyzer(self.config)
+
+    def plan(self, query: str, collection: Optional[str] = None) -> QueryPlan:
+        lowered = query.lower()
+        keywords = self._analyzer.keywords(query, max_keywords=self.config.max_query_terms)
+
+        requires_graph = any(ind in lowered for ind in _GRAPH_INDICATORS)
+        entities = self._entity_candidates(query)
+        if entities:
+            requires_graph = requires_graph or len(entities) >= 2
+
+        intent = "general"
+        if lowered.startswith(_ENTITY_LOOKUP_PREFIXES):
+            intent = "entity_lookup"
+            requires_graph = True
+        elif lowered.startswith(_FACTUAL_PREFIXES):
+            intent = "factual"
+        elif lowered.startswith(_PROCEDURAL_PREFIXES):
+            intent = "procedural"
+        elif any(m in lowered for m in _COMPARATIVE_MARKERS):
+            intent = "comparative"
+        elif requires_graph:
+            intent = "relational"
+
+        weights = {
+            "lexical": self.config.lexical_weight,
+            "semantic": self.config.semantic_weight,
+            # graph weight halves when the query shows no graph shape
+            # (reference _simple_plan: graph weight 0.5 unless requires_graph)
+            "graph": self.config.graph_weight if requires_graph else 0.5,
+        }
+        if intent == "procedural":
+            # procedural queries lean on exact keyword matches (reference planner prompt
+            # example raises lexical/semantic for procedural intent)
+            weights["lexical"] = min(1.0, weights["lexical"] + 0.1)
+            weights["semantic"] = min(1.0, weights["semantic"] + 0.1)
+
+        return QueryPlan(
+            original_query=query,
+            keywords=keywords,
+            lexical_top_k=self.config.lexical_top_k,
+            semantic_query_text=query,
+            semantic_top_k=self.config.semantic_top_k,
+            graph_entities=entities,
+            graph_query=None,
+            graph_top_k=self.config.graph_top_k,
+            weights=weights,
+            intent=intent,
+            requires_graph=requires_graph and self.config.graph_enabled,
+        )
+
+    def _entity_candidates(self, query: str) -> list[str]:
+        """Capitalized spans, excluding a leading sentence-capital interrogative."""
+        spans = [m.group(1) for m in _ENTITY_SPAN_RE.finditer(query)]
+        out = []
+        for i, s in enumerate(spans):
+            if i == 0 and query.startswith(s) and len(s.split()) == 1:
+                # leading word is capitalized by sentence position, not a proper noun,
+                # unless it also appears capitalized elsewhere or is multi-word
+                if s.lower() in query.lower()[len(s):]:
+                    continue
+                if not any(c.isupper() for c in query[len(s):]) and s.istitle():
+                    continue
+            out.append(s)
+        return out
+
+
+class CallablePlanner:
+    """Adapter for LLM-backed planning: wraps a host callable ``fn(query) -> dict`` with
+    the JSON plan fields the reference's GPT planner returns (query_planner.py:152-178);
+    falls back to rules on any failure (the reference's degradation ladder)."""
+
+    def __init__(self, fn, config: Optional[RAGConfig] = None) -> None:
+        self.fn = fn
+        self.config = config or get_settings()
+        self._fallback = RuleBasedPlanner(self.config)
+
+    def plan(self, query: str, collection: Optional[str] = None) -> QueryPlan:
+        base = self._fallback.plan(query, collection)
+        try:
+            data = self.fn(query)
+            if not isinstance(data, dict):
+                return base
+        except Exception:
+            return base
+        weights = data.get("weights") or base.weights
+        return QueryPlan(
+            original_query=query,
+            keywords=list(data.get("keywords") or base.keywords),
+            lexical_top_k=self.config.lexical_top_k,
+            semantic_query_text=data.get("semantic_query_text") or query,
+            semantic_top_k=self.config.semantic_top_k,
+            graph_entities=list(data.get("graph_entities") or base.graph_entities),
+            graph_query=data.get("graph_query"),
+            graph_top_k=self.config.graph_top_k,
+            weights={
+                "lexical": float(weights.get("lexical", base.weights["lexical"])),
+                "semantic": float(weights.get("semantic", base.weights["semantic"])),
+                "graph": float(weights.get("graph", base.weights["graph"])),
+            },
+            intent=data.get("intent", base.intent),
+            requires_graph=bool(data.get("requires_graph", base.requires_graph))
+            and self.config.graph_enabled,
+        )
+
+
+def get_planner(config: Optional[RAGConfig] = None, llm_fn=None) -> QueryPlanner:
+    config = config or get_settings()
+    if config.planner_backend == "llm" and llm_fn is not None:
+        return CallablePlanner(llm_fn, config)
+    return RuleBasedPlanner(config)

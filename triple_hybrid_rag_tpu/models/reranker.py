@@ -1,0 +1,86 @@
+"""Rerankers: precision stage over the fused candidate set.
+
+Reference behavior (``/root/reference/src/voice_agent/retrieval/reranker.py:34-797`` and
+``rag2/retrieval.py:405-459``): cross-encoder relevance scores in [0, 1] over (query,
+parent_text) pairs via a vLLM ``/rerank`` endpoint, with a chat+logprob fallback and a
+"neutral scores, original order" last resort; candidates capped at 50; results sorted by
+rerank score and fed to the safety gate.
+
+TPU-native lineup:
+
+- :class:`MaxSimReranker` (``ops/maxsim.py``) — true late-interaction MaxSim over stored
+  token-level embeddings; the reference *claims* late interaction but implements pointwise
+  yes/no scoring (SURVEY.md §5.7); here it is real, and the primary backend.
+- :class:`DotReranker` — parent-embedding dot product with the query: a cheap cross-check
+  backend mirroring the reference's ``LightweightReranker`` blend role (reranker.py:590).
+- :class:`NoopReranker` — min-max-normalized fused scores, preserving candidate order:
+  the "rerank unavailable" degradation rung (reranker.py:392-399). Normalization maps the
+  top candidate to 1.0 so the downstream 0.6 safety threshold (tuned for [0, 1]
+  cross-encoder scores) stays meaningful.
+
+All rerankers are device ops: ``score(query_ctx, candidate_rows) -> f32[K]`` with -1 rows
+masked. The host never sees intermediate scores.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RAGConfig, get_settings
+from ..ops.fusion import minmax_normalize
+
+
+class Reranker(Protocol):
+    def score(
+        self,
+        query_ctx: dict,
+        ids: jax.Array,  # i32[K] candidate *parent* rows (-1 invalid)
+        fused_scores: jax.Array,  # f32[K] fused RRF scores (fallback signal)
+    ) -> jax.Array:
+        """f32[K] relevance scores in [0, 1]-ish range; invalid slots 0."""
+        ...
+
+
+class NoopReranker:
+    """Degradation rung: pass fused order through, min-max normalized to [0, 1]."""
+
+    def __init__(self, config: Optional[RAGConfig] = None) -> None:
+        self.config = config or get_settings()
+
+    def score(self, query_ctx: dict, ids: jax.Array, fused_scores: jax.Array) -> jax.Array:
+        return minmax_normalize(ids, fused_scores)
+
+
+class DotReranker:
+    """Query x parent-embedding cosine, rescaled from [-1, 1] to [0, 1]."""
+
+    def __init__(self, parent_embeddings: jax.Array, config: Optional[RAGConfig] = None) -> None:
+        self.parent_embeddings = parent_embeddings  # [P_pad, D] unit rows
+        self.config = config or get_settings()
+
+    def score(self, query_ctx: dict, ids: jax.Array, fused_scores: jax.Array) -> jax.Array:
+        qv = query_ctx["query_vec"]  # f32[D] unit
+        emb = self.parent_embeddings[jnp.clip(ids, 0, self.parent_embeddings.shape[0] - 1)]
+        cos = jnp.dot(emb, qv.astype(emb.dtype), preferred_element_type=jnp.float32)
+        return jnp.where(ids >= 0, (cos + 1.0) * 0.5, 0.0)
+
+
+def get_reranker(
+    config: Optional[RAGConfig] = None,
+    parent_embeddings: Optional[jax.Array] = None,
+    maxsim_index=None,
+) -> Reranker:
+    """Factory with the reference's fallback ladder (reranker.py:768 get_reranker):
+    maxsim -> dot -> noop, degrading on missing prerequisites."""
+    config = config or get_settings()
+    backend = config.rerank_backend if config.rerank_enabled else "none"
+    if backend == "maxsim" and maxsim_index is not None:
+        from .maxsim_reranker import MaxSimReranker
+
+        return MaxSimReranker(maxsim_index, config)
+    if backend in ("maxsim", "dot") and parent_embeddings is not None:
+        return DotReranker(parent_embeddings, config)
+    return NoopReranker(config)

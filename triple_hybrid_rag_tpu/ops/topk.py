@@ -40,7 +40,11 @@ def masked_top_k(
     if valid is not None:
         invalid = invalid | ~valid
     masked = jnp.where(invalid, NEG_INF, masked)
-    vals, idx = jax.lax.top_k(masked, k)
+    kk = min(k, masked.shape[-1])  # k may exceed a tiny corpus; pad the tail instead
+    vals, idx = jax.lax.top_k(masked, kk)
+    if kk < k:
+        vals = jnp.concatenate([vals, jnp.full((k - kk,), NEG_INF, vals.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros((k - kk,), idx.dtype)])
     ok = vals > NEG_INF
     return jnp.where(ok, idx, -1).astype(jnp.int32), jnp.where(ok, vals, NEG_INF)
 

