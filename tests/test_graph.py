@@ -1,0 +1,298 @@
+"""Graph channel tests: k-hop ops vs hand-BFS oracle, extractor, store, index API
+(coverage model of reference tests/test_rag2_graph_e2e.py + entity E2E)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.corpus import CorpusStore
+from triple_hybrid_rag_tpu.index.graph_index import build_graph_index
+from triple_hybrid_rag_tpu.models.entity_extractor import (
+    CallableExtractor,
+    EntityStore,
+    RuleBasedExtractor,
+    canonical_key,
+)
+from triple_hybrid_rag_tpu.ops.graph import (
+    INF_DIST,
+    chunk_scores_from_entities,
+    khop_distances,
+    khop_entity_scores,
+)
+from triple_hybrid_rag_tpu.types import EntityType, RelationType
+
+
+# ---------------------------------------------------------------------------
+# device ops vs BFS oracle
+# ---------------------------------------------------------------------------
+
+
+def make_nbr(adj, e_pad, deg):
+    nbr = np.full((e_pad, deg), -1, np.int32)
+    for u, vs in adj.items():
+        nbr[u, : len(vs)] = vs
+    return jnp.asarray(nbr)
+
+
+def bfs_oracle(adj, seeds, n, hops):
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for h in range(1, hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return [dist.get(i, np.inf) for i in range(n)]
+
+
+def test_khop_distances_match_bfs():
+    # chain 0-1-2-3-4 plus branch 1-5
+    adj = {0: [1], 1: [0, 2, 5], 2: [1, 3], 3: [2, 4], 4: [3], 5: [1]}
+    nbr = make_nbr(adj, 8, 4)
+    seeds = jnp.asarray(np.array([True] + [False] * 7))
+    for hops in (1, 2, 3):
+        got = np.asarray(khop_distances(nbr, seeds, hops=hops))
+        want = bfs_oracle(adj, [0], 8, hops)
+        for i in range(6):
+            if np.isinf(want[i]) or want[i] > hops:
+                assert got[i] >= float(INF_DIST) or got[i] > hops
+            else:
+                assert got[i] == want[i], (hops, i)
+
+
+def test_khop_scores_decay():
+    adj = {0: [1], 1: [0, 2], 2: [1]}
+    nbr = make_nbr(adj, 4, 2)
+    seeds = jnp.asarray(np.array([True, False, False, False]))
+    s = np.asarray(khop_entity_scores(nbr, seeds, hops=2))
+    assert s[0] == pytest.approx(1.0)  # seed: 1/(1+0)
+    assert s[1] == pytest.approx(0.5)  # 1 hop: 1/(1+1)
+    assert s[2] == pytest.approx(1 / 3)  # 2 hops
+    assert s[3] == 0.0  # disconnected
+
+
+def test_chunk_scores_max_over_entities():
+    ce = jnp.asarray(np.array([[0, 1, -1], [2, -1, -1], [-1, -1, -1]], np.int32))
+    es = jnp.asarray(np.array([0.5, 1.0, 0.25], np.float32))
+    got = np.asarray(chunk_scores_from_entities(ce, es))
+    np.testing.assert_allclose(got, [1.0, 0.25, 0.0])
+
+
+def test_multiple_seeds_min_distance():
+    adj = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2]}
+    nbr = make_nbr(adj, 4, 2)
+    seeds = jnp.asarray(np.array([True, False, False, True]))
+    d = np.asarray(khop_distances(nbr, seeds, hops=2))
+    np.testing.assert_allclose(d, [0, 1, 1, 0])
+
+
+# ---------------------------------------------------------------------------
+# extraction
+# ---------------------------------------------------------------------------
+
+CONTRACT_TEXT = (
+    "Acme Corp signed a service agreement with Beta Logistics on 2026-01-15. "
+    "John Smith works for Acme Corp as head of procurement. "
+    "Beta Logistics is located in Lisbon. The contract costs $50,000 per year. "
+    "Acme Corp uses CloudStack Systems for hosting."
+)
+
+
+def _extract(cfg=None):
+    from triple_hybrid_rag_tpu.types import ChildChunk, ParentChunk
+
+    parent = ParentChunk(parent_id="d" * 16 + ":0", doc_id="d" * 64, parent_idx=0, text=CONTRACT_TEXT)
+    child = ChildChunk(
+        chunk_id="d" * 16 + ":0:0", parent_id=parent.parent_id, doc_id="d" * 64,
+        parent_idx=0, child_idx=0, text=CONTRACT_TEXT,
+    )
+    return RuleBasedExtractor(cfg or RAGConfig()).extract(parent, [child]), child
+
+
+def test_rule_extractor_entities():
+    result, _ = _extract()
+    names = {e.canonical_name for e in result.entities}
+    assert "Acme Corp" in names
+    assert "Beta Logistics" in names
+    assert "John Smith" in names
+    types = {e.canonical_name: e.entity_type for e in result.entities}
+    assert types["Acme Corp"] == EntityType.ORGANIZATION
+    assert types["John Smith"] == EntityType.PERSON
+    assert any(e.entity_type == EntityType.DATE for e in result.entities)
+    assert any(e.entity_type == EntityType.MONEY for e in result.entities)
+
+
+def test_rule_extractor_relations():
+    result, _ = _extract()
+    by_name = {e.entity_id: e.canonical_name for e in result.entities}
+    rels = {
+        (by_name[r.subject_id], r.relation_type, by_name[r.object_id])
+        for r in result.relations
+    }
+    assert ("John Smith", RelationType.WORKS_FOR, "Acme Corp") in rels
+    assert ("Beta Logistics", RelationType.LOCATED_IN, "Lisbon") in rels
+    assert ("Acme Corp", RelationType.USES, "CloudStack Systems") in rels
+    # co-occurrence fallback exists
+    assert any(r.relation_type == RelationType.RELATED_TO for r in result.relations)
+
+
+def test_rule_extractor_mentions():
+    result, child = _extract()
+    ment_chunks = {m.chunk_id for m in result.mentions}
+    assert child.chunk_id in ment_chunks
+    assert len(result.mentions) >= 3
+
+
+def test_callable_extractor_and_fallback():
+    def llm(text):
+        return {
+            "entities": [
+                {"name": "Acme Corp", "type": "organization"},
+                {"name": "Zeta Inc", "type": "organization"},
+            ],
+            "relations": [
+                {"subject": "Acme Corp", "object": "Zeta Inc", "type": "part_of"}
+            ],
+        }
+
+    from triple_hybrid_rag_tpu.types import ChildChunk, ParentChunk
+
+    parent = ParentChunk(parent_id="e" * 16 + ":0", doc_id="e" * 64, parent_idx=0, text="Acme Corp and Zeta Inc.")
+    child = ChildChunk(chunk_id="e" * 16 + ":0:0", parent_id=parent.parent_id, doc_id="e" * 64,
+                       parent_idx=0, child_idx=0, text="Acme Corp and Zeta Inc.")
+    res = CallableExtractor(llm).extract(parent, [child])
+    assert {e.canonical_name for e in res.entities} == {"Acme Corp", "Zeta Inc"}
+    assert res.relations[0].relation_type == RelationType.PART_OF
+
+    def broken(text):
+        raise RuntimeError("down")
+
+    res2 = CallableExtractor(broken).extract(parent, [child])
+    assert any("acme" in canonical_key(e.canonical_name) for e in res2.entities)
+
+
+# ---------------------------------------------------------------------------
+# entity store
+# ---------------------------------------------------------------------------
+
+
+def test_store_upsert_dedup():
+    store = EntityStore()
+    r1, _ = _extract()
+    stats1 = store.store_extraction(r1)
+    r2, _ = _extract()
+    stats2 = store.store_extraction(r2)
+    assert stats1["entities"] > 0
+    assert stats2["entities"] == 0  # same entities upsert to existing
+    assert stats2["relations"] == 0  # dedup by (s, o, type)
+    assert store.stats()["entities"] == stats1["entities"]
+
+
+def test_store_fuzzy_lookup():
+    store = EntityStore()
+    r, _ = _extract()
+    store.store_extraction(r)
+    assert store.lookup("acme corp")[0].canonical_name == "Acme Corp"
+    assert store.lookup("Acme")[0].canonical_name == "Acme Corp"  # substring
+    fuzz = store.lookup("Acmee Corpp")
+    assert fuzz and fuzz[0].canonical_name == "Acme Corp"  # trigram
+    assert store.lookup("completely unrelated zebra") == []
+
+
+# ---------------------------------------------------------------------------
+# graph index + triple-hybrid retrieval
+# ---------------------------------------------------------------------------
+
+GRAPH_DOCS = {
+    "acme.md": (
+        "# Acme Corp Overview\n\nAcme Corp is located in Lisbon. John Smith works for "
+        "Acme Corp. Acme Corp uses CloudStack Systems for hosting infrastructure."
+    ),
+    "beta.md": (
+        "# Beta Logistics\n\nBeta Logistics partners with Acme Corp on freight. "
+        "Maria Silva works for Beta Logistics."
+    ),
+    "cloud.md": (
+        "# CloudStack Systems\n\nCloudStack Systems provides hosting services. "
+        "CloudStack Systems is located in Porto."
+    ),
+    "other.md": "# Unrelated\n\nGardening tips for spring flowers and vegetables.",
+}
+
+
+def build_graph_fixture(cfg):
+    import hashlib
+
+    corpus = CorpusStore()
+    chunker = HierarchicalChunker(cfg)
+    store = EntityStore()
+    extractor = RuleBasedExtractor(cfg)
+    for name, text in GRAPH_DOCS.items():
+        doc_id = hashlib.sha256(name.encode()).hexdigest()
+        parents, children = chunker.chunk_document(text, doc_id)
+        corpus.add_chunks(parents, children)
+        for p in parents:
+            kids = [c for c in children if c.parent_id == p.parent_id]
+            store.store_extraction(extractor.extract(p, kids))
+    return corpus, store
+
+
+@pytest.fixture
+def gcfg(small_config):
+    return small_config.replace(embedding_dtype="float32", safety_threshold=0.3)
+
+
+def test_graph_index_neighborhood(gcfg):
+    corpus, store = build_graph_fixture(gcfg)
+    gidx = build_graph_index(store, corpus, gcfg)
+    ids, scores = gidx.entity_neighborhood("John Smith", hops=2)
+    ids = np.asarray(ids)
+    assert (ids >= 0).sum() >= 1
+    texts = [corpus.child_by_row(int(i)).text for i in ids if i >= 0]
+    assert any("John Smith" in t or "Acme Corp" in t for t in texts)
+
+
+def test_graph_index_relation_path(gcfg):
+    corpus, store = build_graph_fixture(gcfg)
+    gidx = build_graph_index(store, corpus, gcfg)
+    path = gidx.relation_path("John Smith", "CloudStack Systems")
+    assert path is not None
+    names = [e.canonical_name for e in path]
+    assert names[0] == "John Smith" and names[-1] == "CloudStack Systems"
+    assert "Acme Corp" in names  # the connecting hop
+
+
+def test_graph_index_related_entities(gcfg):
+    corpus, store = build_graph_fixture(gcfg)
+    gidx = build_graph_index(store, corpus, gcfg)
+    rel = {e.canonical_name for e in gidx.related_entities("Acme Corp")}
+    assert "John Smith" in rel
+
+
+def test_triple_hybrid_retrieval_with_graph(gcfg):
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+
+    corpus, store = build_graph_fixture(gcfg)
+    gidx = build_graph_index(store, corpus, gcfg)
+    ret = Retriever(corpus, gcfg, graph_index=gidx)
+    r = ret.retrieve("Who works for Acme Corp?")
+    assert not r.refused
+    assert r.channel_counts["graph"] > 0
+    assert any("graph" in res.source_channels for res in r.results)
+    top_texts = " ".join(res.text for res in r.results)
+    assert "Acme" in top_texts
+
+
+def test_graph_channel_skipped_when_not_required(gcfg):
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+
+    corpus, store = build_graph_fixture(gcfg)
+    gidx = build_graph_index(store, corpus, gcfg)
+    ret = Retriever(corpus, gcfg, graph_index=gidx)
+    r = ret.retrieve("gardening tips for spring")
+    assert r.channel_counts["graph"] == 0  # plan did not require graph

@@ -5,10 +5,13 @@ static metadata needed to specialize its compiled query ops."""
 
 from .bm25_index import BM25Index, build_bm25_index
 from .dense_index import DenseIndex, build_dense_index
+from .graph_index import GraphIndex, build_graph_index
 
 __all__ = [
     "BM25Index",
     "build_bm25_index",
     "DenseIndex",
     "build_dense_index",
+    "GraphIndex",
+    "build_graph_index",
 ]

@@ -1,0 +1,349 @@
+"""Entity + relation extraction feeding the knowledge-graph channel.
+
+The reference performs NER+RE with a GPT JSON call per parent chunk — 15 entity types, 13
+relation types — and stores results via ``EntityStore`` (upsert by canonical name, relation
+subject/object resolution, per-child mentions)
+(``/root/reference/src/voice_agent/rag2/entity_extraction.py:29-554``).
+
+Here extraction is a pluggable host stage with two backends:
+
+- :class:`RuleBasedExtractor` (default): deterministic pattern NER — capitalized-span
+  detection with organization/person heuristics, date/money regexes — and pattern RE
+  ("X works for Y", "X part of Y", ...) plus sentence-co-occurrence RELATED_TO edges.
+  Deterministic and hermetic: the graph channel works out of the box, offline.
+- :class:`CallableExtractor`: adapter for an LLM host callable returning the same JSON
+  shape the reference's prompt requests; falls back to rules on failure (the reference's
+  tenacity-retry-then-skip ladder, rag2/ingest.py:466-472, maps to try-LLM-then-rules).
+
+:class:`EntityStore` mirrors the reference store semantics: entities are upserted by
+accent-stripped lowercase canonical name, relations resolve subject/object to entity ids,
+mentions bind entities to child chunks. Its output is the host-side triple store the
+device adjacency arrays are built from (``index/graph_index.py``).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from ..analyzer import strip_accents, trigram_similarity
+from ..config import RAGConfig, get_settings
+from ..types import (
+    ChildChunk,
+    Entity,
+    EntityMention,
+    EntityType,
+    ExtractionResult,
+    ParentChunk,
+    Relation,
+    RelationType,
+)
+
+_ORG_SUFFIXES = (
+    "corp", "corporation", "inc", "ltd", "llc", "sa", "s.a", "ltda", "gmbh", "company",
+    "co", "group", "holdings", "bank", "university", "institute", "agency", "logistics",
+    "systems", "technologies", "solutions",
+)
+_PERSON_TITLES = ("mr", "mrs", "ms", "dr", "prof", "sr", "sra", "dra", "eng")
+
+_CAP_SPAN_RE = re.compile(r"\b([A-ZÀ-Ý][\w&.\-À-ÿ]*(?:\s+(?:of|de|da|do|dos|das|e|and|&)?\s*[A-ZÀ-Ý][\w&.\-À-ÿ]*)*)\b")
+_DATE_RE = re.compile(
+    r"\b(\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}-\d{2}-\d{2}|"
+    r"(?:january|february|march|april|may|june|july|august|september|october|november|"
+    r"december|janeiro|fevereiro|março|marco|abril|maio|junho|julho|agosto|setembro|"
+    r"outubro|novembro|dezembro)\s+\d{1,2}?,?\s*\d{4})\b",
+    re.IGNORECASE,
+)
+_MONEY_RE = re.compile(r"(?:R?\$\s?[\d.,]+(?:\s?(?:million|billion|mil|milhões|bilhões))?|\b[\d.,]+\s?(?:dollars|reais|euros|USD|BRL|EUR)\b)")
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+|\n+")
+
+# relation patterns: (regex with two capture groups over entity placeholders, type, swap)
+_REL_PATTERNS: List[Tuple[str, RelationType, bool]] = [
+    (r"{A}\s+(?:works?\s+for|trabalha\s+para|is\s+employed\s+by)\s+{B}", RelationType.WORKS_FOR, False),
+    (r"{A}\s+(?:is\s+)?(?:located\s+in|based\s+in|localizada?\s+em|sediada\s+em)\s+{B}", RelationType.LOCATED_IN, False),
+    (r"{A}\s+(?:is\s+part\s+of|belongs\s+to|faz\s+parte\s+de|pertence\s+a)\s+{B}", RelationType.PART_OF, False),
+    (r"{A}\s+(?:produces|manufactures|produz|fabrica)\s+{B}", RelationType.PRODUCES, False),
+    (r"{A}\s+(?:uses|usa|utiliza)\s+{B}", RelationType.USES, False),
+    (r"{A}\s+(?:provides|offers|fornece|oferece)\s+{B}", RelationType.PROVIDES, False),
+    (r"{A}\s+(?:depends\s+on|depende\s+de)\s+{B}", RelationType.DEPENDS_ON, False),
+    (r"{A}\s+(?:signed\s+by|assinado\s+por)\s+{B}", RelationType.SIGNED_BY, False),
+    (r"{A}\s+(?:costs|custa)\s+{B}", RelationType.COSTS, False),
+]
+
+
+def canonical_key(name: str) -> str:
+    """Upsert key: accent-stripped, lowercased, whitespace-collapsed
+    (reference upsert-by-(org_id, canonical_name), entity_extraction.py:449)."""
+    return " ".join(strip_accents(name.lower()).split())
+
+
+def _classify(span: str, preceding: str) -> EntityType:
+    words = span.split()
+    last = strip_accents(words[-1].lower().rstrip("."))
+    if last in _ORG_SUFFIXES:
+        return EntityType.ORGANIZATION
+    prev = strip_accents(preceding.lower().rstrip(". "))
+    if prev.split()[-1:] and prev.split()[-1].rstrip(".") in _PERSON_TITLES:
+        return EntityType.PERSON
+    if len(words) == 2 and all(w[0].isupper() and w[1:].islower() for w in words):
+        return EntityType.PERSON
+    if len(words) >= 2:
+        return EntityType.ORGANIZATION
+    return EntityType.CONCEPT
+
+
+class RuleBasedExtractor:
+    """Deterministic pattern-based NER + RE over one parent chunk."""
+
+    def __init__(self, config: Optional[RAGConfig] = None) -> None:
+        self.config = config or get_settings()
+
+    def extract(
+        self, parent: ParentChunk, children: Sequence[ChildChunk]
+    ) -> ExtractionResult:
+        text = parent.text
+        entities: Dict[str, Entity] = {}
+
+        def add_entity(name: str, etype: EntityType) -> Optional[Entity]:
+            name = name.strip(" .,;:")
+            if len(name) < 2:
+                return None
+            key = canonical_key(name)
+            if not key:
+                return None
+            ent = entities.get(key)
+            if ent is None:
+                ent = Entity(
+                    entity_id=str(uuid.uuid5(uuid.NAMESPACE_OID, "thr-ent:" + key)),
+                    canonical_name=name,
+                    entity_type=etype,
+                )
+                entities[key] = ent
+            return ent
+
+        # capitalized spans (skip sentence-initial single lowercase-common words)
+        for sent in _SENT_SPLIT_RE.split(text):
+            for m in _CAP_SPAN_RE.finditer(sent):
+                span = m.group(1)
+                if m.start() == 0 and len(span.split()) == 1:
+                    continue  # sentence-initial capital: ambiguous, skip single words
+                if span.isupper() and len(span) <= 2:
+                    continue
+                add_entity(span, _classify(span, sent[: m.start()]))
+
+        for m in _DATE_RE.finditer(text):
+            add_entity(m.group(0), EntityType.DATE)
+        for m in _MONEY_RE.finditer(text):
+            add_entity(m.group(0), EntityType.MONEY)
+
+        # relations: pattern-based, then same-sentence co-occurrence
+        relations: List[Relation] = []
+        seen_rel: set[Tuple[str, str, str]] = set()
+
+        def add_relation(a: Entity, b: Entity, rtype: RelationType, conf: float) -> None:
+            if a.entity_id == b.entity_id:
+                return
+            key = (a.entity_id, b.entity_id, rtype.value)
+            if key in seen_rel:
+                return
+            seen_rel.add(key)
+            relations.append(
+                Relation(
+                    relation_id=str(uuid.uuid5(uuid.NAMESPACE_OID, "thr-rel:" + "|".join(key))),
+                    subject_id=a.entity_id,
+                    object_id=b.entity_id,
+                    relation_type=rtype,
+                    confidence=conf,
+                    source_chunk_id=parent.parent_id,
+                )
+            )
+
+        ent_list = list(entities.values())
+        for pattern, rtype, swap in _REL_PATTERNS:
+            for a in ent_list:
+                for b in ent_list:
+                    if a is b:
+                        continue
+                    pat = pattern.format(A=re.escape(a.canonical_name), B=re.escape(b.canonical_name))
+                    if re.search(pat, text, re.IGNORECASE):
+                        add_relation(b if swap else a, a if swap else b, rtype, 0.9)
+
+        # co-occurrence in the same sentence -> weak RELATED_TO
+        for sent in _SENT_SPLIT_RE.split(text):
+            present = [e for e in ent_list if e.canonical_name in sent]
+            for i, a in enumerate(present):
+                for b in present[i + 1 :]:
+                    add_relation(a, b, RelationType.RELATED_TO, 0.5)
+
+        # mentions: bind each entity to the child chunks whose text contains it
+        mentions: List[EntityMention] = []
+        for child in children:
+            lowered = strip_accents(child.text.lower())
+            for key, ent in entities.items():
+                if key in lowered:
+                    mentions.append(
+                        EntityMention(
+                            entity_id=ent.entity_id,
+                            chunk_id=child.chunk_id,
+                            surface_form=ent.canonical_name,
+                        )
+                    )
+
+        return ExtractionResult(entities=ent_list, mentions=mentions, relations=relations)
+
+
+class CallableExtractor:
+    """LLM-backed extraction adapter: ``fn(parent_text) -> {"entities": [...],
+    "relations": [...]}`` in the reference prompt's JSON shape
+    (entity_extraction.py:104-148); rule fallback on failure."""
+
+    def __init__(self, fn: Callable[[str], dict], config: Optional[RAGConfig] = None) -> None:
+        self.fn = fn
+        self.config = config or get_settings()
+        self._fallback = RuleBasedExtractor(self.config)
+
+    def extract(self, parent: ParentChunk, children: Sequence[ChildChunk]) -> ExtractionResult:
+        try:
+            data = self.fn(parent.text)
+            assert isinstance(data, dict)
+        except Exception:
+            return self._fallback.extract(parent, children)
+
+        entities: Dict[str, Entity] = {}
+        for e in data.get("entities", []):
+            name = str(e.get("name", "")).strip()
+            if not name:
+                continue
+            key = canonical_key(name)
+            try:
+                etype = EntityType(str(e.get("type", "other")).lower())
+            except ValueError:
+                etype = EntityType.OTHER
+            entities.setdefault(
+                key,
+                Entity(
+                    entity_id=str(uuid.uuid5(uuid.NAMESPACE_OID, "thr-ent:" + key)),
+                    canonical_name=name,
+                    entity_type=etype,
+                    description=str(e.get("description", "")),
+                ),
+            )
+
+        relations: List[Relation] = []
+        for r in data.get("relations", []):
+            s = entities.get(canonical_key(str(r.get("subject", ""))))
+            o = entities.get(canonical_key(str(r.get("object", ""))))
+            if s is None or o is None or s is o:
+                continue
+            try:
+                rtype = RelationType(str(r.get("type", "related_to")).lower())
+            except ValueError:
+                rtype = RelationType.RELATED_TO
+            relations.append(
+                Relation(
+                    relation_id=str(uuid.uuid4()),
+                    subject_id=s.entity_id,
+                    object_id=o.entity_id,
+                    relation_type=rtype,
+                    confidence=float(r.get("confidence", 0.8)),
+                    source_chunk_id=parent.parent_id,
+                )
+            )
+
+        mentions: List[EntityMention] = []
+        for child in children:
+            lowered = strip_accents(child.text.lower())
+            for key, ent in entities.items():
+                if key in lowered:
+                    mentions.append(
+                        EntityMention(
+                            entity_id=ent.entity_id,
+                            chunk_id=child.chunk_id,
+                            surface_form=ent.canonical_name,
+                        )
+                    )
+        return ExtractionResult(
+            entities=list(entities.values()), mentions=mentions, relations=relations
+        )
+
+
+@dataclass
+class EntityStore:
+    """Host-side triple store with reference upsert semantics
+    (entity_extraction.py:364-554): the source the device graph index is built from."""
+
+    entities: Dict[str, Entity] = field(default_factory=dict)  # canonical key -> entity
+    _by_id: Dict[str, Entity] = field(default_factory=dict)
+    relations: List[Relation] = field(default_factory=list)
+    mentions: List[EntityMention] = field(default_factory=list)
+    _rel_seen: set = field(default_factory=set)
+    _men_seen: set = field(default_factory=set)
+
+    def store_extraction(self, result: ExtractionResult) -> Dict[str, int]:
+        remap: Dict[str, str] = {}
+        n_new = 0
+        for ent in result.entities:
+            key = canonical_key(ent.canonical_name)
+            existing = self.entities.get(key)
+            if existing is None:
+                self.entities[key] = ent
+                self._by_id[ent.entity_id] = ent
+                n_new += 1
+            else:
+                remap[ent.entity_id] = existing.entity_id
+                if ent.aliases:
+                    existing.aliases = tuple(set(existing.aliases) | set(ent.aliases))
+        n_rel = 0
+        for rel in result.relations:
+            rel.subject_id = remap.get(rel.subject_id, rel.subject_id)
+            rel.object_id = remap.get(rel.object_id, rel.object_id)
+            if rel.subject_id not in self._by_id or rel.object_id not in self._by_id:
+                continue
+            key = (rel.subject_id, rel.object_id, rel.relation_type.value)
+            if key in self._rel_seen:
+                continue
+            self._rel_seen.add(key)
+            self.relations.append(rel)
+            n_rel += 1
+        n_men = 0
+        for men in result.mentions:
+            men.entity_id = remap.get(men.entity_id, men.entity_id)
+            if men.entity_id not in self._by_id:
+                continue
+            key = (men.entity_id, men.chunk_id)
+            if key in self._men_seen:
+                continue
+            self._men_seen.add(key)
+            self.mentions.append(men)
+            n_men += 1
+        return {"entities": n_new, "relations": n_rel, "mentions": n_men}
+
+    def entity_by_id(self, entity_id: str) -> Optional[Entity]:
+        return self._by_id.get(entity_id)
+
+    def lookup(self, name: str, fuzzy_threshold: float = 0.35) -> List[Entity]:
+        """Exact canonical / substring / trigram-fuzzy entity lookup
+        (replaces pg_trgm + PuppyGraph entity_lookup, puppygraph.py:182)."""
+        key = canonical_key(name)
+        exact = self.entities.get(key)
+        if exact is not None:
+            return [exact]
+        out = []
+        for k, ent in self.entities.items():
+            if key and (key in k or k in key):
+                out.append((0.99, ent))
+                continue
+            sim = trigram_similarity(key, k)
+            if sim >= fuzzy_threshold:
+                out.append((sim, ent))
+        out.sort(key=lambda x: -x[0])
+        return [e for _, e in out]
+
+    def stats(self) -> Dict[str, int]:
+        return {
+            "entities": len(self.entities),
+            "relations": len(self.relations),
+            "mentions": len(self.mentions),
+        }
