@@ -1,0 +1,130 @@
+"""Sharded engine tests on the virtual 8-device CPU mesh: the multi-chip analogue of
+the reference's real-DB E2E tier (SURVEY.md §4.2 tier 3)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+import jax
+
+from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.corpus import CorpusStore
+from triple_hybrid_rag_tpu.index.graph_index import build_graph_index
+from triple_hybrid_rag_tpu.models.entity_extractor import EntityStore, RuleBasedExtractor
+from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh, single_device_mesh
+from triple_hybrid_rag_tpu.retrieval import Retriever
+
+TOPICS = [
+    "payment invoice billing settlement",
+    "contract termination clause notice",
+    "fox wildlife forest habitat",
+    "password reset security portal",
+]
+
+
+def build_fixture(cfg, n_docs=12, with_graph=True):
+    corpus = CorpusStore()
+    chunker = HierarchicalChunker(cfg)
+    store = EntityStore()
+    extractor = RuleBasedExtractor(cfg)
+    for i in range(n_docs):
+        topic = TOPICS[i % len(TOPICS)]
+        text = (
+            f"# Document {i}\n\nAcme Corp publishes document {i} about {topic}. "
+            + " ".join(f"Detail sentence {j} covering {topic} item {j}." for j in range(10))
+        )
+        doc_id = hashlib.sha256(f"doc{i}".encode()).hexdigest()
+        parents, children = chunker.chunk_document(text, doc_id)
+        corpus.add_chunks(parents, children)
+        if with_graph:
+            for p in parents:
+                kids = [c for c in children if c.parent_id == p.parent_id]
+                store.store_extraction(extractor.extract(p, kids))
+    gidx = build_graph_index(store, corpus, cfg) if with_graph else None
+    return corpus, gidx
+
+
+@pytest.fixture
+def cfg(small_config):
+    return small_config.replace(
+        embedding_dtype="float32", safety_threshold=0.2, capacity_round=8
+    )
+
+
+def test_mesh_helpers():
+    m = corpus_mesh()
+    assert m.shape["shard"] == 8 and m.shape["data"] == 1
+    m2 = corpus_mesh(n_shards=4, data_parallel=2)
+    assert m2.shape == {"data": 2, "shard": 4}
+    m1 = single_device_mesh()
+    assert m1.shape["shard"] == 1
+
+
+def test_sharded_matches_single_device(cfg):
+    """The 8-shard program must produce the same results as the staged single-device
+    retriever (exact merge property of disjoint-partition top-k)."""
+    corpus, gidx = build_fixture(cfg)
+    ret = Retriever(corpus, cfg, graph_index=gidx)
+
+    eng8 = ShardedEngine(ret, corpus_mesh())
+    eng1 = ShardedEngine(ret, single_device_mesh())
+
+    for q in ["invoice payment settlement", "How do I reset my password?",
+              "Who works for Acme Corp?"]:
+        r8 = eng8.retrieve(q)
+        r1 = eng1.retrieve(q)
+        assert [x.chunk_id for x in r8.results] == [x.chunk_id for x in r1.results], q
+        np.testing.assert_allclose(
+            [x.final_score for x in r8.results],
+            [x.final_score for x in r1.results],
+            rtol=1e-5,
+        )
+
+
+def test_sharded_matches_staged_retriever(cfg):
+    corpus, gidx = build_fixture(cfg, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    ret = Retriever(corpus, c)
+    eng = ShardedEngine(ret, corpus_mesh())
+    q = "contract termination notice"
+    staged = ret.retrieve(q)
+    fused_eng = eng.retrieve(q)
+    assert [x.chunk_id for x in staged.results] == [x.chunk_id for x in fused_eng.results]
+    np.testing.assert_allclose(
+        [x.final_score for x in staged.results],
+        [x.final_score for x in fused_eng.results],
+        rtol=1e-4,
+    )
+
+
+def test_sharded_refusal(cfg):
+    corpus, _ = build_fixture(cfg, n_docs=4, with_graph=False)
+    c = cfg.replace(graph_enabled=False, safety_threshold=0.99, rerank_backend="dot")
+    ret = Retriever(corpus, c)
+    eng = ShardedEngine(ret, corpus_mesh())
+    r = eng.retrieve("zzz qqq xyzzy nonsense")
+    assert r.refused
+    assert r.results == []
+
+
+def test_sharded_arrays_actually_sharded(cfg):
+    corpus, _ = build_fixture(cfg, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    ret = Retriever(corpus, c)
+    eng = ShardedEngine(ret, corpus_mesh())
+    # row axis must be split over 8 devices
+    shardings = eng.embeddings.sharding
+    assert len(eng.embeddings.devices()) == 8
+    assert eng.n_pad % 8 == 0
+    # each device holds 1/8 of the rows
+    shard_shapes = {s.data.shape for s in eng.embeddings.addressable_shards}
+    assert shard_shapes == {(eng.n_pad // 8, eng.embeddings.shape[1])}
+
+
+def test_sharded_timing_fields(cfg):
+    corpus, _ = build_fixture(cfg, n_docs=4, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    eng = ShardedEngine(Retriever(corpus, c), corpus_mesh())
+    r = eng.retrieve("invoice payment")
+    assert "dispatch_ms" in r.timings and "total_ms" in r.timings

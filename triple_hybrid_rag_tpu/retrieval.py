@@ -284,53 +284,65 @@ class Retriever:
         final_ids: jax.Array,
         final_scores: jax.Array,
     ) -> List[SearchResult]:
-        f_ids = np.asarray(fused.ids)
-        slot_of = {int(cid): i for i, cid in enumerate(f_ids) if cid >= 0}
-        rrf = np.asarray(fused.rrf)
-        lex = np.asarray(fused.lexical)
-        sem = np.asarray(fused.semantic)
-        gr = np.asarray(fused.graph)
-        chan = np.asarray(fused.channels)
-        rk = np.asarray(rerank_scores)
+        return decode_results(self.corpus, fused, rerank_scores, final_ids, final_scores)
 
-        out: List[SearchResult] = []
-        for cid, score in zip(np.asarray(final_ids), np.asarray(final_scores)):
-            cid = int(cid)
-            if cid < 0:
-                continue
-            child = self.corpus.child_by_row(cid)
-            parent = self.corpus.parent(child.parent_id)
-            slot = slot_of.get(cid)
-            channels = []
-            if slot is not None:
-                bits = int(chan[slot])
-                if bits & LEXICAL_BIT:
-                    channels.append("lexical")
-                if bits & SEMANTIC_BIT:
-                    channels.append("semantic")
-                if bits & GRAPH_BIT:
-                    channels.append("graph")
-            out.append(
-                SearchResult(
-                    chunk_id=child.chunk_id,
-                    parent_id=child.parent_id,
-                    doc_id=child.doc_id,
-                    text=child.text,
-                    parent_text=parent.text if parent else None,
-                    section_heading=child.section_heading,
-                    page_start=child.page_start,
-                    page_end=child.page_end,
-                    modality=child.modality,
-                    lexical_score=float(lex[slot]) if slot is not None else 0.0,
-                    semantic_score=float(sem[slot]) if slot is not None else 0.0,
-                    graph_score=float(gr[slot]) if slot is not None else 0.0,
-                    rrf_score=float(rrf[slot]) if slot is not None else 0.0,
-                    rerank_score=float(rk[slot]) if slot is not None else None,
-                    final_score=float(score),
-                    source_channels=tuple(channels),
-                )
+
+def decode_results(
+    corpus: CorpusStore,
+    fused: FusedCandidates,
+    rerank_scores: jax.Array,
+    final_ids: jax.Array,
+    final_scores: jax.Array,
+) -> List[SearchResult]:
+    """Host decode: device rows -> SearchResult records (shared by the staged Retriever
+    and the one-dispatch ShardedEngine)."""
+    f_ids = np.asarray(fused.ids)
+    slot_of = {int(cid): i for i, cid in enumerate(f_ids) if cid >= 0}
+    rrf = np.asarray(fused.rrf)
+    lex = np.asarray(fused.lexical)
+    sem = np.asarray(fused.semantic)
+    gr = np.asarray(fused.graph)
+    chan = np.asarray(fused.channels)
+    rk = np.asarray(rerank_scores)
+
+    out: List[SearchResult] = []
+    for cid, score in zip(np.asarray(final_ids), np.asarray(final_scores)):
+        cid = int(cid)
+        if cid < 0:
+            continue
+        child = corpus.child_by_row(cid)
+        parent = corpus.parent(child.parent_id)
+        slot = slot_of.get(cid)
+        channels = []
+        if slot is not None:
+            bits = int(chan[slot])
+            if bits & LEXICAL_BIT:
+                channels.append("lexical")
+            if bits & SEMANTIC_BIT:
+                channels.append("semantic")
+            if bits & GRAPH_BIT:
+                channels.append("graph")
+        out.append(
+            SearchResult(
+                chunk_id=child.chunk_id,
+                parent_id=child.parent_id,
+                doc_id=child.doc_id,
+                text=child.text,
+                parent_text=parent.text if parent else None,
+                section_heading=child.section_heading,
+                page_start=child.page_start,
+                page_end=child.page_end,
+                modality=child.modality,
+                lexical_score=float(lex[slot]) if slot is not None else 0.0,
+                semantic_score=float(sem[slot]) if slot is not None else 0.0,
+                graph_score=float(gr[slot]) if slot is not None else 0.0,
+                rrf_score=float(rrf[slot]) if slot is not None else 0.0,
+                rerank_score=float(rk[slot]) if slot is not None else None,
+                final_score=float(score),
+                source_channels=tuple(channels),
             )
-        return out
+        )
+    return out
 
 
 def retrieve(corpus: CorpusStore, query: str, **kwargs) -> RetrievalResult:
