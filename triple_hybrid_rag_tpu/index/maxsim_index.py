@@ -1,0 +1,67 @@
+"""MaxSim index: stored token-level embeddings per parent chunk.
+
+The storage the reference lacks ("no token-level embedding storage exists" — SURVEY.md
+§5.7), enabling true late-interaction reranking. Token embeddings live in HBM as a
+``[P_pad, T_doc, D]`` bf16 block; the rerank stage gathers only its <= 50 candidates, so
+the gather cost is trivial while the store itself streams once at build time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RAGConfig
+from ..ops.maxsim import maxsim_scores
+
+
+@dataclass
+class MaxSimIndex:
+    tokens: jax.Array  # bf16[P_pad, Td, D] unit token embeddings (zero rows = pad)
+    mask: jax.Array  # bool[P_pad, Td]
+    n_parents: int
+    config: RAGConfig
+
+    def score_candidates(
+        self, parent_rows: jax.Array, q_tokens: jax.Array, q_mask: jax.Array
+    ) -> jax.Array:
+        """f32[K] MaxSim scores for candidate parent rows (-1 invalid)."""
+        p_pad = self.tokens.shape[0]
+        safe = jnp.clip(parent_rows, 0, p_pad - 1)
+        return maxsim_scores(
+            self.tokens[safe], self.mask[safe], q_tokens, q_mask, parent_rows >= 0
+        )
+
+
+def build_maxsim_index(
+    parent_texts: Sequence[str],
+    token_embedder,  # object with token_embeddings(texts) -> f32[N, T, D]
+    config: RAGConfig,
+    batch_size: int = 64,
+) -> MaxSimIndex:
+    n = len(parent_texts)
+    p_pad = config.round_capacity(max(n, 1))
+    td = config.maxsim_doc_tokens
+    d = config.maxsim_dim
+
+    toks = np.zeros((p_pad, td, d), np.float32)
+    mask = np.zeros((p_pad, td), bool)
+    for i in range(0, n, batch_size):
+        batch = list(parent_texts[i : i + batch_size])
+        emb = token_embedder.token_embeddings(batch)  # [b, T, D*]
+        t_avail = min(td, emb.shape[1])
+        d_avail = min(d, emb.shape[2])
+        toks[i : i + len(batch), :t_avail, :d_avail] = emb[:, :t_avail, :d_avail]
+        mask[i : i + len(batch), :t_avail] = np.any(emb[:, :t_avail] != 0, axis=-1)
+
+    dtype = jnp.bfloat16 if config.embedding_dtype == "bfloat16" else jnp.float32
+    return MaxSimIndex(
+        tokens=jnp.asarray(toks, dtype=dtype),
+        mask=jnp.asarray(mask),
+        n_parents=n,
+        config=config,
+    )

@@ -118,6 +118,25 @@ class BowHashEmbedder:
             raise ValueError(f"query produced no tokens to embed: {text!r}")
         return v
 
+    def token_embeddings(
+        self, texts: Sequence[str], max_tokens: Optional[int] = None, dim: Optional[int] = None
+    ) -> np.ndarray:
+        """f32[N, T, dim] per-token unit hash embeddings for MaxSim late interaction.
+
+        Exact token matches give cos = 1, so MaxSim over these behaves as a soft
+        term-overlap cross-check — the deterministic stand-in for trained ColBERT-style
+        token embeddings (swap in EncoderEmbedder.token_embeddings for the learned ones).
+        """
+        t = max_tokens or self.config.maxsim_doc_tokens
+        d = dim or self.config.maxsim_dim
+        out = np.zeros((len(texts), t, d), np.float32)
+        for i, text in enumerate(texts):
+            for j, tok in enumerate(self._analyzer.tokenize(text)[:t]):
+                g = np.random.default_rng(_seed_from(f"mtok{d}\x00" + tok))
+                v = g.standard_normal(d).astype(np.float32)
+                out[i, j] = v / np.linalg.norm(v)
+        return out
+
 
 class FailSoftEmbedder:
     """Wrapper adding the reference's graceful-degradation ladder to any embedder:

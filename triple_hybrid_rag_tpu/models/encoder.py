@@ -1,0 +1,221 @@
+"""On-mesh transformer encoder: the framework's native embedding/reranking model.
+
+The reference delegates embedding to an external Qwen3-VL-Embedding server over HTTP
+(``/root/reference/src/voice_agent/rag2/embedder.py:31-120``) and reranking to a
+Qwen3-VL-Reranker server (``retrieval/reranker.py:287-313``). This module provides the
+TPU-native counterpart: a compact bidirectional transformer that runs *batched on the same
+mesh as the indexes*, producing
+
+- a pooled Matryoshka-style sentence embedding (masked mean -> projection -> L2 norm;
+  prefix-truncatable like the reference's 4096->1024 scheme), and
+- per-token embeddings in a reduced dimension for true late-interaction MaxSim reranking
+  (the capability the reference *names* but never implements — SURVEY.md §5.7).
+
+Tokenization is the analyzer pipeline + stable hashing into a fixed bucket vocabulary, so
+the model needs no tokenizer artifacts and any text maps deterministically onto device
+arrays. Weights initialize deterministically; :mod:`training` provides the contrastive
+(InfoNCE) training step with dp x tp sharding for fitting the encoder to a corpus.
+
+Compute is bf16 on the MXU with f32 parameters/accumulation; shapes are static
+(``max_tokens`` padding) so every batch hits the same compiled program.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..analyzer import Analyzer
+from ..config import RAGConfig, get_settings
+
+PAD_ID = 0  # reserved token id
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_buckets: int = 32768
+    d_model: int = 256
+    n_layers: int = 4
+    n_heads: int = 8
+    d_mlp: int = 1024
+    max_tokens: int = 256
+    out_dim: int = 2048  # pooled embedding dim (pre-Matryoshka truncation)
+    token_dim: int = 128  # per-token dim for MaxSim
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def hash_token(token: str, buckets: int) -> int:
+    """Stable token -> [1, buckets) hash (id 0 reserved for padding)."""
+    h = int.from_bytes(hashlib.blake2s(token.encode("utf-8"), digest_size=8).digest(), "little")
+    return 1 + (h % (buckets - 1))
+
+
+class TextHasher:
+    """Host-side text -> padded (ids, mask) arrays via the shared analyzer."""
+
+    def __init__(self, enc_cfg: EncoderConfig, rag_cfg: Optional[RAGConfig] = None) -> None:
+        self.cfg = enc_cfg
+        self.analyzer = Analyzer(rag_cfg or get_settings())
+        self._cache: dict[str, int] = {}
+
+    def _tid(self, token: str) -> int:
+        v = self._cache.get(token)
+        if v is None:
+            v = hash_token(token, self.cfg.vocab_buckets)
+            self._cache[token] = v
+        return v
+
+    def encode(self, texts: Sequence[str], max_tokens: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        t = max_tokens or self.cfg.max_tokens
+        ids = np.zeros((len(texts), t), np.int32)
+        mask = np.zeros((len(texts), t), bool)
+        for i, text in enumerate(texts):
+            toks = self.analyzer.tokenize(text)[:t]
+            for j, tok in enumerate(toks):
+                ids[i, j] = self._tid(tok)
+                mask[i, j] = True
+        return ids, mask
+
+
+class Block(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        c = self.cfg
+        dt = c.compute_dtype
+        h = nn.LayerNorm(dtype=dt, name="ln_attn")(x)
+        attn_mask = mask[:, None, None, :]  # [B, 1, 1, T] key mask
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.n_heads, dtype=dt, name="attn",
+        )(h, h, mask=attn_mask)
+        x = x + h
+        h = nn.LayerNorm(dtype=dt, name="ln_mlp")(x)
+        h = nn.Dense(c.d_mlp, dtype=dt, name="mlp_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(c.d_model, dtype=dt, name="mlp_out")(h)
+        return x + h
+
+
+class Encoder(nn.Module):
+    """Bidirectional transformer with pooled + token-level heads."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, token_ids: jax.Array, mask: jax.Array):
+        c = self.cfg
+        dt = c.compute_dtype
+        x = nn.Embed(c.vocab_buckets, c.d_model, dtype=dt, name="tok_embed")(token_ids)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (c.max_tokens, c.d_model),
+        )
+        x = x + pos[None, : token_ids.shape[1], :].astype(dt)
+        for i in range(c.n_layers):
+            x = Block(c, name=f"block_{i}")(x, mask)
+        x = nn.LayerNorm(dtype=dt, name="ln_final")(x)
+
+        # pooled sentence embedding: masked mean -> projection -> L2 norm
+        m = mask[..., None].astype(dt)
+        denom = jnp.maximum(m.sum(axis=1), 1.0)
+        pooled = (x * m).sum(axis=1) / denom
+        pooled = nn.Dense(c.out_dim, dtype=dt, name="pool_proj")(pooled)
+        pooled = pooled.astype(jnp.float32)
+        pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-6)
+
+        # token-level embeddings for MaxSim: reduced dim, unit-normalized, masked to 0
+        tok = nn.Dense(c.token_dim, dtype=dt, name="token_proj")(x).astype(jnp.float32)
+        tok = tok / jnp.maximum(jnp.linalg.norm(tok, axis=-1, keepdims=True), 1e-6)
+        tok = tok * mask[..., None].astype(jnp.float32)
+        return pooled, tok
+
+
+def init_encoder(
+    enc_cfg: EncoderConfig, seed: int = 0
+) -> Tuple[Encoder, dict]:
+    model = Encoder(enc_cfg)
+    rng = jax.random.PRNGKey(seed)
+    dummy_ids = jnp.zeros((1, enc_cfg.max_tokens), jnp.int32)
+    dummy_mask = jnp.ones((1, enc_cfg.max_tokens), bool)
+    params = model.init(rng, dummy_ids, dummy_mask)
+    return model, params
+
+
+class EncoderEmbedder:
+    """Embedder-protocol adapter: batched on-device encoding.
+
+    Satisfies :class:`~triple_hybrid_rag_tpu.models.embedder.Embedder`, so the retriever
+    can swap the hash embedders for the real on-mesh model transparently.
+    """
+
+    def __init__(
+        self,
+        enc_cfg: Optional[EncoderConfig] = None,
+        rag_cfg: Optional[RAGConfig] = None,
+        params: Optional[dict] = None,
+        batch_size: int = 64,
+        seed: int = 0,
+    ) -> None:
+        rag_cfg = rag_cfg or get_settings()
+        self.enc_cfg = enc_cfg or EncoderConfig(
+            vocab_buckets=rag_cfg.vocab_hash_buckets,
+            out_dim=rag_cfg.embedding_dim_full,
+            token_dim=rag_cfg.maxsim_dim,
+        )
+        self.model, init_params = init_encoder(self.enc_cfg, seed)
+        self.params = params if params is not None else init_params
+        self.hasher = TextHasher(self.enc_cfg, rag_cfg)
+        self.batch_size = batch_size
+        self.dim = self.enc_cfg.out_dim
+        self._encode = jax.jit(
+            lambda p, ids, mask: self.model.apply(p, ids, mask)
+        )
+
+    def _run(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        pooled_out: List[np.ndarray] = []
+        tokens_out: List[np.ndarray] = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            batch = list(texts[i : i + bs])
+            ids, mask = self.hasher.encode(batch)
+            pooled, tok = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            pooled_out.append(np.asarray(pooled))
+            tokens_out.append(np.asarray(tok))
+        return (
+            np.concatenate(pooled_out) if pooled_out else np.zeros((0, self.dim), np.float32),
+            np.concatenate(tokens_out)
+            if tokens_out
+            else np.zeros((0, self.enc_cfg.max_tokens, self.enc_cfg.token_dim), np.float32),
+        )
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        return self._run(texts)[0]
+
+    def embed_query(self, text: str) -> np.ndarray:
+        out = self._run([text])[0]
+        if not np.any(out):
+            raise ValueError(f"query produced no tokens to embed: {text!r}")
+        return out[0]
+
+    def token_embeddings(
+        self, texts: Sequence[str], max_tokens: Optional[int] = None, dim: Optional[int] = None
+    ) -> np.ndarray:
+        """f32[N, T, token_dim] unit token embeddings (MaxSim index build / query side)."""
+        out = self._run(texts)[1]
+        if max_tokens is not None:
+            out = out[:, :max_tokens]
+        if dim is not None:
+            out = out[..., :dim]
+        return out

@@ -1,0 +1,31 @@
+"""MaxSim late-interaction reranker (the primary rerank backend).
+
+See ``ops/maxsim.py`` for the scoring math and ``index/maxsim_index.py`` for the storage.
+The reranker expects ``query_ctx["q_tokens"]`` / ``query_ctx["q_mask"]`` prepared by the
+retriever's query stage (same token embedder as the index build).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RAGConfig, get_settings
+from ..index.maxsim_index import MaxSimIndex
+from ..ops.fusion import minmax_normalize
+
+
+class MaxSimReranker:
+    def __init__(self, index: MaxSimIndex, config: Optional[RAGConfig] = None) -> None:
+        self.index = index
+        self.config = config or get_settings()
+
+    def score(self, query_ctx: dict, ids: jax.Array, fused_scores: jax.Array) -> jax.Array:
+        q_tokens = query_ctx.get("q_tokens")
+        q_mask = query_ctx.get("q_mask")
+        if q_tokens is None or q_mask is None:
+            # degradation rung: no token-level query context -> normalized fused order
+            return minmax_normalize(ids, fused_scores)
+        return self.index.score_candidates(ids, q_tokens, q_mask)

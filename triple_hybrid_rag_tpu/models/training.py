@@ -1,0 +1,175 @@
+"""Contrastive training for the on-mesh encoder (dp x tp sharded).
+
+The reference has no training loop — its embedder/reranker are frozen external models.
+A standalone TPU framework must be able to *fit* its encoder to a corpus, so this module
+provides symmetric-InfoNCE contrastive training over (query, positive-passage) pairs —
+the standard recipe for retrieval embedders — as a single jitted SPMD step:
+
+- **dp**: the batch shards over the ``dp`` mesh axis; the in-batch-negatives logits
+  matrix ``q @ d.T`` contracts over the full batch via XLA-inserted collectives.
+- **tp**: attention heads and MLP hidden dims shard over ``tp`` via parameter
+  ``NamedSharding`` placement (GSPMD propagates through the forward/backward pass).
+
+Parameters/optimizer state are placed once with :func:`shard_train_state`; the compiled
+step then runs with compiler-inserted all-reduces (psum of gradients over ``dp``,
+activation collectives over ``tp``) — no hand-written communication.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .encoder import Encoder, EncoderConfig, init_encoder
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    temperature: float = 0.05
+    warmup_steps: int = 100
+
+
+def training_mesh(n_devices: Optional[int] = None, tp: int = 2) -> Mesh:
+    """dp x tp mesh over the visible devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    tp = min(tp, n)
+    dp = n // tp
+    grid = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, ("dp", "tp"))
+
+
+def _param_spec(path: Tuple, leaf) -> P:
+    """Tensor-parallel layout rules keyed on parameter path names.
+
+    Column-parallel in (shard the expanding dim), row-parallel out (shard the
+    contracting dim) — the standard Megatron-style MLP/attention split.
+    """
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    ndim = getattr(leaf, "ndim", 0)
+    if "mlp_in" in joined and "kernel" in joined:
+        return P(None, "tp")
+    if "mlp_out" in joined and "kernel" in joined:
+        return P("tp", None)
+    if "attn" in joined and "kernel" in joined and ndim == 3:
+        # qkv projections [d_model, heads, head_dim] -> shard heads
+        if "out" in joined:
+            return P("tp", None, None)  # out proj [heads, head_dim, d_model]
+        return P(None, "tp", None)
+    if "pool_proj" in joined and "kernel" in joined:
+        return P(None, "tp")
+    if "token_proj" in joined and "kernel" in joined:
+        return P(None, "tp")
+    return P()  # replicate everything else (embeddings, norms, biases)
+
+
+def param_shardings(params, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), params
+    )
+
+
+def shard_train_state(state: train_state.TrainState, mesh: Mesh) -> train_state.TrainState:
+    """Place params and matching optimizer moments with tp shardings; replicate the rest."""
+    specs = param_shardings(state.params, mesh)
+
+    def place_like_params(tree):
+        return jax.tree.map(lambda leaf, s: jax.device_put(leaf, s), tree, specs)
+
+    new_opt = []
+    for piece in state.opt_state:
+        if hasattr(piece, "mu") and hasattr(piece, "nu"):
+            piece = piece._replace(
+                mu=place_like_params(piece.mu), nu=place_like_params(piece.nu)
+            )
+        new_opt.append(piece)
+    return state.replace(
+        params=place_like_params(state.params), opt_state=tuple(new_opt)
+    )
+
+
+def create_train_state(
+    enc_cfg: EncoderConfig,
+    train_cfg: TrainConfig = TrainConfig(),
+    seed: int = 0,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[Encoder, train_state.TrainState]:
+    model, params = init_encoder(enc_cfg, seed)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, train_cfg.learning_rate, train_cfg.warmup_steps, 10_000
+    )
+    tx = optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
+    state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if mesh is not None:
+        state = shard_train_state(state, mesh)
+    return model, state
+
+
+def make_train_step(model: Encoder, train_cfg: TrainConfig, mesh: Optional[Mesh] = None):
+    """Compiled symmetric-InfoNCE step.
+
+    batch: (q_ids, q_mask, d_ids, d_mask) each [B, T], sharded P('dp', None) when a mesh
+    is given. Returns (new_state, metrics dict)."""
+    temp = train_cfg.temperature
+
+    def loss_fn(params, q_ids, q_mask, d_ids, d_mask):
+        q, _ = model.apply(params, q_ids, q_mask)
+        d, _ = model.apply(params, d_ids, d_mask)
+        logits = (q @ d.T) / temp  # [B, B]; in-batch negatives
+        labels = jnp.arange(logits.shape[0])
+        l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+        loss = 0.5 * (l_qd + l_dq)
+        acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+        return loss, acc
+
+    def step(state: train_state.TrainState, q_ids, q_mask, d_ids, d_mask):
+        if mesh is not None:
+            bspec = NamedSharding(mesh, P("dp", None))
+            q_ids = jax.lax.with_sharding_constraint(q_ids, bspec)
+            d_ids = jax.lax.with_sharding_constraint(d_ids, bspec)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, q_ids, q_mask, d_ids, d_mask
+        )
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def train_pairs(
+    model: Encoder,
+    state: train_state.TrainState,
+    hasher,
+    pairs,  # sequence of (query_text, positive_text)
+    train_cfg: TrainConfig = TrainConfig(),
+    batch_size: int = 32,
+    epochs: int = 1,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 0,
+):
+    """Simple host loop over pair batches (index-build-time fitting)."""
+    step_fn = make_train_step(model, train_cfg, mesh)
+    metrics = {}
+    for _ in range(epochs):
+        for i in range(0, len(pairs) - batch_size + 1, batch_size):
+            batch = pairs[i : i + batch_size]
+            q_ids, q_mask = hasher.encode([q for q, _ in batch])
+            d_ids, d_mask = hasher.encode([d for _, d in batch])
+            state, metrics = step_fn(
+                state, jnp.asarray(q_ids), jnp.asarray(q_mask),
+                jnp.asarray(d_ids), jnp.asarray(d_mask),
+            )
+            if log_every and (i // batch_size) % log_every == 0:
+                jax.block_until_ready(metrics["loss"])
+    return state, {k: float(v) for k, v in metrics.items()}

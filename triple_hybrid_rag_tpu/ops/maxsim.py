@@ -1,0 +1,62 @@
+"""Late-interaction MaxSim scoring (ColBERT-style) — the real thing.
+
+The reference *documents* "Late Interaction Reranking" as complete but actually ships a
+pointwise yes/no cross-encoder over chat logprobs
+(``/root/reference/docs/RAG2.0/COMPLETION_REPORT.md:32`` vs
+``retrieval/reranker.py:154-285``; SURVEY.md §5.7). Here it is implemented for real:
+token-level embeddings are stored per parent chunk, and the rerank score is
+
+    score(q, d) = mean over query tokens of ( max over doc tokens of cos(q_i, d_j) )
+
+rescaled from [-1, 1] to [0, 1] so the downstream safety threshold (0.6, tuned for [0, 1]
+cross-encoder scores) keeps its meaning. Mean (not ColBERT's sum) keeps scores
+length-invariant across queries.
+
+Shapes are rerank-stage small — K <= 50 candidates x T_doc x T_query x D — so one fused
+einsum is already near speed-of-light; the Pallas variant (``ops/pallas/maxsim.py``)
+blocks over document tokens to keep long documents resident in VMEM (SURVEY.md §5.7
+blockwise requirement).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def maxsim_scores(
+    doc_tokens: jax.Array,  # [K, Td, D] unit token embeddings (0-rows = padding)
+    doc_mask: jax.Array,  # bool[K, Td]
+    q_tokens: jax.Array,  # [Tq, D] unit token embeddings
+    q_mask: jax.Array,  # bool[Tq]
+    valid: jax.Array,  # bool[K] candidate validity (-1 ids masked upstream)
+) -> jax.Array:
+    """f32[K] MaxSim scores in [0, 1]; invalid candidates score 0."""
+    # sim[k, t_d, t_q] on the MXU, f32 accumulation
+    sim = jnp.einsum(
+        "ktd,qd->ktq",
+        doc_tokens.astype(jnp.bfloat16),
+        q_tokens.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    sim = jnp.where(doc_mask[:, :, None], sim, -jnp.inf)
+    per_q = jnp.max(sim, axis=1)  # [K, Tq] best doc token per query token
+    has_doc = doc_mask.any(axis=1)  # [K]
+    per_q = jnp.where(has_doc[:, None], per_q, -1.0)
+    qm = q_mask.astype(jnp.float32)
+    n_q = jnp.maximum(qm.sum(), 1.0)
+    mean_max = (per_q * qm[None, :]).sum(axis=1) / n_q  # [-1, 1]
+    score01 = (mean_max + 1.0) * 0.5
+    return jnp.where(valid & has_doc, score01, 0.0)
+
+
+@jax.jit
+def maxsim_scores_batch(
+    doc_tokens: jax.Array,  # [B, K, Td, D]
+    doc_mask: jax.Array,  # bool[B, K, Td]
+    q_tokens: jax.Array,  # [B, Tq, D]
+    q_mask: jax.Array,  # bool[B, Tq]
+    valid: jax.Array,  # bool[B, K]
+) -> jax.Array:
+    return jax.vmap(maxsim_scores)(doc_tokens, doc_mask, q_tokens, q_mask, valid)

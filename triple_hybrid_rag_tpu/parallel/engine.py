@@ -111,6 +111,13 @@ class ShardedEngine:
         self.parent_of = repl(_pad_rows(retriever.parent_of, n_pad))
         pe = getattr(retriever.reranker, "parent_embeddings", None)
         self.parent_emb = repl(pe) if pe is not None else None
+        mx = getattr(retriever, "maxsim_index", None)
+        if mx is not None:
+            self.maxsim_tokens = repl(mx.tokens)
+            self.maxsim_mask = repl(mx.mask)
+        else:
+            self.maxsim_tokens = None
+            self.maxsim_mask = None
 
         self._compiled = self._build_program()
 
@@ -125,7 +132,10 @@ class ShardedEngine:
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_lex = self.retriever.bm25_index is not None and cfg.lexical_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
-        use_dot_rerank = cfg.rerank_enabled and self.parent_emb is not None
+        use_maxsim = cfg.rerank_enabled and self.maxsim_tokens is not None
+        use_dot_rerank = (
+            cfg.rerank_enabled and not use_maxsim and self.parent_emb is not None
+        )
         hops = cfg.graph_hops
 
         def channel_merge(local_scores, valid, k, floor):
@@ -140,8 +150,9 @@ class ShardedEngine:
 
         def program(
             term_ids, term_weights, embeddings, valid, nbr, chunk_entities,
-            parent_of, parent_emb,
-            q_terms, q_vec, seeds, weights, threshold, alpha, graph_on,
+            parent_of, parent_emb, mx_tokens, mx_mask,
+            q_terms, q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
+            graph_on,
         ):
             # ---- channels (sharded rows) ----
             if use_lex:
@@ -179,7 +190,15 @@ class ShardedEngine:
             parent_ids = jnp.where(fused.ids >= 0, parent_of[safe], -1)
 
             # ---- rerank ----
-            if use_dot_rerank:
+            if use_maxsim:
+                from ..ops.maxsim import maxsim_scores
+
+                safe_p = jnp.clip(parent_ids, 0, mx_tokens.shape[0] - 1)
+                rerank = maxsim_scores(
+                    mx_tokens[safe_p], mx_mask[safe_p], q_tokens, q_tok_mask,
+                    parent_ids >= 0,
+                )
+            elif use_dot_rerank:
                 pe = parent_emb[jnp.clip(parent_ids, 0, parent_emb.shape[0] - 1)]
                 cos = jnp.dot(pe, q_vec.astype(pe.dtype), preferred_element_type=jnp.float32)
                 rerank = jnp.where(parent_ids >= 0, (cos + 1.0) * 0.5, 0.0)
@@ -202,9 +221,8 @@ class ShardedEngine:
             program,
             mesh=mesh,
             in_specs=(
-                shard2, shard2, shard2, shard1, rep, shard2, rep,
-                rep if self.parent_emb is not None else rep,
-                rep, rep, rep, rep, rep, rep, rep,
+                shard2, shard2, shard2, shard1, rep, shard2, rep, rep, rep, rep,
+                rep, rep, rep, rep, rep, rep, rep, rep, rep,
             ),
             out_specs=(rep, rep, rep, rep,
                        FusedCandidates(rep, rep, rep, rep, rep, rep), rep),
@@ -235,6 +253,16 @@ class ShardedEngine:
         else:
             q_vec = jnp.zeros((self.dim,), jnp.float32)
 
+        if self.maxsim_tokens is not None:
+            toks = r.embedder.token_embeddings(
+                [plan.semantic_query_text or query], max_tokens=cfg.maxsim_query_tokens
+            )[0]
+            q_tokens = jnp.asarray(toks)
+            q_tok_mask = jnp.asarray(np.any(toks != 0, axis=-1))
+        else:
+            q_tokens = jnp.zeros((1, 1), jnp.float32)
+            q_tok_mask = jnp.zeros((1,), bool)
+
         seeds = np.zeros((self.e_pad,), bool)
         graph_on = False
         if self.retriever.graph_index is not None and plan.requires_graph:
@@ -256,7 +284,7 @@ class ShardedEngine:
             jnp.float32,
         )
         args = (
-            q_terms, q_vec, jnp.asarray(seeds), weights,
+            q_terms, q_vec, q_tokens, q_tok_mask, jnp.asarray(seeds), weights,
             jnp.float32(cfg.safety_threshold if cfg.safety_enabled else -1e9),
             jnp.float32(cfg.denoise_alpha if cfg.denoise_enabled else 0.0),
             jnp.asarray(graph_on),
@@ -266,13 +294,19 @@ class ShardedEngine:
     def search_arrays(self, query: str):
         """One-dispatch search returning raw device results (bench hot path)."""
         plan, args = self.prepare_query(query)
-        out = self._compiled(
+        out = self._compiled(*self._index_args(), *args)
+        return plan, out
+
+    def _index_args(self):
+        zero2 = jnp.zeros((1, 1), jnp.float32)
+        zero_mask = jnp.zeros((1, 1), bool)
+        return (
             self.term_ids, self.term_weights, self.embeddings, self.valid,
             self.nbr, self.chunk_entities, self.parent_of,
-            self.parent_emb if self.parent_emb is not None else jnp.zeros((1, self.dim), jnp.float32),
-            *args,
+            self.parent_emb if self.parent_emb is not None else zero2,
+            self.maxsim_tokens if self.maxsim_tokens is not None else zero2[:, :, None],
+            self.maxsim_mask if self.maxsim_mask is not None else zero_mask,
         )
-        return plan, out
 
     def retrieve(self, query: str, top_k: Optional[int] = None) -> RetrievalResult:
         """Full result decode (host) around the one-dispatch path."""

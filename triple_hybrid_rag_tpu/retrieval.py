@@ -104,7 +104,23 @@ class Retriever:
         parent_emb = None
         if self.config.rerank_enabled and self.dense_index is not None:
             parent_emb = self._build_parent_embeddings()
-        self.reranker = reranker or get_reranker(self.config, parent_embeddings=parent_emb)
+
+        # MaxSim token store over parent texts (primary rerank backend)
+        self.maxsim_index = None
+        if (
+            self.config.rerank_enabled
+            and self.config.rerank_backend == "maxsim"
+            and hasattr(self.embedder, "token_embeddings")
+            and corpus.n_parents > 0
+        ):
+            from .index.maxsim_index import build_maxsim_index
+
+            self.maxsim_index = build_maxsim_index(
+                corpus.parent_texts(), self.embedder, self.config
+            )
+        self.reranker = reranker or get_reranker(
+            self.config, parent_embeddings=parent_emb, maxsim_index=self.maxsim_index
+        )
         self.corpus.mark_clean()
 
     # ------------------------------------------------------------------
@@ -167,7 +183,11 @@ class Retriever:
         # 5. rerank
         t0 = time.perf_counter()
         if cfg.rerank_enabled:
-            qctx = {"query_vec": query_vec} if query_vec is not None else {}
+            qctx: Dict[str, object] = {}
+            if query_vec is not None:
+                qctx["query_vec"] = query_vec
+            if self.maxsim_index is not None:
+                qctx.update(self._query_token_ctx(plan))
             rerank_scores = self.reranker.score(qctx, parent_ids, fused.rrf)
         else:
             rerank_scores = fused.rrf
@@ -261,6 +281,15 @@ class Retriever:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _query_token_ctx(self, plan: QueryPlan) -> Dict[str, jax.Array]:
+        """Token-level query embeddings for MaxSim (same embedder as the index build)."""
+        text = plan.semantic_query_text or plan.original_query
+        toks = self.embedder.token_embeddings(
+            [text], max_tokens=self.config.maxsim_query_tokens
+        )[0]
+        mask = np.any(toks != 0, axis=-1)
+        return {"q_tokens": jnp.asarray(toks), "q_mask": jnp.asarray(mask)}
 
     def _build_parent_embeddings(self) -> jax.Array:
         """Parent embedding = L2-normalized mean of its children's embeddings
