@@ -123,6 +123,49 @@ class Retriever:
         )
         self.corpus.mark_clean()
 
+    @classmethod
+    def from_indexes(
+        cls,
+        corpus: CorpusStore,
+        config: RAGConfig,
+        bm25_index: Optional[BM25Index] = None,
+        dense_index: Optional[DenseIndex] = None,
+        graph_index=None,
+        maxsim_index=None,
+        parent_of: Optional[np.ndarray] = None,
+        embedder: Optional[Embedder] = None,
+        planner: Optional[QueryPlanner] = None,
+        reranker: Optional[Reranker] = None,
+    ) -> "Retriever":
+        """Assemble a retriever from prebuilt index artifacts without re-deriving them
+        (checkpoint-restore path; also the synthetic-benchmark entry point)."""
+        self = cls.__new__(cls)
+        self.config = config
+        self.corpus = corpus
+        self.analyzer = Analyzer(config)
+        self.embedder = embedder or BowHashEmbedder(dim=config.embedding_dim_full, config=config)
+        self.planner = planner or get_planner(config)
+        self.bm25_index = bm25_index
+        self.dense_index = dense_index
+        self.graph_index = graph_index
+        self.maxsim_index = maxsim_index
+        if parent_of is not None:
+            self.parent_of = jnp.asarray(parent_of)
+        else:
+            n_pad = config.round_capacity(max(len(corpus), 1))
+            po = np.zeros((n_pad,), np.int32)
+            rows = corpus.parent_rows()
+            if rows:
+                po[: len(rows)] = rows
+            self.parent_of = jnp.asarray(po)
+        parent_emb = None
+        if config.rerank_enabled and dense_index is not None and len(corpus):
+            parent_emb = self._build_parent_embeddings()
+        self.reranker = reranker or get_reranker(
+            config, parent_embeddings=parent_emb, maxsim_index=maxsim_index
+        )
+        return self
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
