@@ -1,0 +1,142 @@
+"""Checkpoint/restore, RAG facade, and CLI tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from triple_hybrid_rag_tpu.cli import main as cli_main
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.facade import RAG
+from triple_hybrid_rag_tpu.index.checkpoint import (
+    CheckpointError,
+    load_checkpoint,
+    load_ingestor,
+    save_ingestor,
+)
+from triple_hybrid_rag_tpu.ingest import Ingestor
+
+
+@pytest.fixture
+def cfg(small_config):
+    return small_config.replace(
+        graph_enabled=True, embedding_dtype="float32", safety_threshold=0.2
+    )
+
+
+@pytest.fixture
+def docs_dir(tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "pay.md").write_text(
+        "# Payments\n\nAcme Corp settles invoices within thirty days of billing."
+    )
+    (d / "wild.md").write_text("# Wildlife\n\nRed foxes inhabit the northern forest.")
+    return d
+
+
+def test_checkpoint_roundtrip(cfg, docs_dir, tmp_path):
+    ing = Ingestor(config=cfg)
+    ing.ingest_directory(docs_dir)
+    ckpt = tmp_path / "ckpt"
+    save_ingestor(ing, ckpt)
+    assert (ckpt / "manifest.json").exists()
+
+    ing2 = load_ingestor(ckpt)
+    assert ing2.corpus.stats() == ing.corpus.stats()
+    assert ing2.entity_store.stats() == ing.entity_store.stats()
+    # embeddings restored bit-exact
+    cid = ing.corpus.children[0].chunk_id
+    np.testing.assert_array_equal(ing2.embeddings[cid], ing.embeddings[cid])
+    # restored state queries identically
+    r1 = ing.make_retriever().retrieve("invoice settlement")
+    r2 = ing2.make_retriever().retrieve("invoice settlement")
+    assert [x.chunk_id for x in r1.results] == [x.chunk_id for x in r2.results]
+
+
+def test_checkpoint_corruption_detected(cfg, docs_dir, tmp_path):
+    ing = Ingestor(config=cfg)
+    ing.ingest_directory(docs_dir)
+    ckpt = tmp_path / "ckpt"
+    save_ingestor(ing, ckpt)
+    (ckpt / "corpus.pkl").write_bytes(b"corrupted")
+    with pytest.raises(CheckpointError, match="hash mismatch"):
+        load_checkpoint(ckpt)
+
+
+def test_checkpoint_missing(tmp_path):
+    with pytest.raises(CheckpointError, match="no checkpoint"):
+        load_checkpoint(tmp_path / "nothing")
+
+
+def test_checkpoint_config_migration(cfg, docs_dir, tmp_path):
+    """Restoring under a different embedding_dim re-truncates from full-dim vectors
+    (the backfill_rag2.py migration analogue)."""
+    ing = Ingestor(config=cfg)
+    ing.ingest_directory(docs_dir)
+    ckpt = tmp_path / "ckpt"
+    save_ingestor(ing, ckpt)
+    smaller = cfg.replace(embedding_dim=16)
+    ing2 = load_ingestor(ckpt, config=smaller)
+    ret = ing2.make_retriever()
+    assert ret.dense_index.dim == 16
+    assert not ret.retrieve("invoice settlement").refused
+
+
+def test_facade_ingest_query_save_load(cfg, docs_dir, tmp_path):
+    rag = RAG(config=cfg)
+    results = rag.ingest_directory(docs_dir)
+    assert all(r.status.value == "completed" for r in results)
+    out = rag.query("fox in the forest", top_k=2)
+    assert not out.refused
+    assert "fox" in out.results[0].text.lower()
+
+    # corpus mutation invalidates the cached retriever
+    rag.ingest_text("Quantum computing hardware overview.", name="q.md")
+    out2 = rag.query("quantum computing")
+    assert any("quantum" in r.text.lower() for r in out2.results)
+
+    ckpt = tmp_path / "rag_ckpt"
+    rag.save(ckpt)
+    rag2 = RAG.load(ckpt)
+    assert rag2.stats()["children"] == rag.stats()["children"]
+    out3 = rag2.query("fox in the forest", top_k=2)
+    assert [r.chunk_id for r in out3.results] == [r.chunk_id for r in out.results]
+
+
+def test_cli_ingest_query_stats(cfg, docs_dir, tmp_path, capsys, monkeypatch):
+    # CLI uses get_settings(); pin the small test config
+    import triple_hybrid_rag_tpu.config as config_mod
+
+    monkeypatch.setattr(config_mod, "_SETTINGS", cfg)
+    index = str(tmp_path / "cli_index")
+
+    rc = cli_main(["ingest", str(docs_dir), "--index", index])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[COMPLETED]" in out and "ingested 2 file(s)" in out
+
+    rc = cli_main(["query", "invoice", "settlement", "--index", index, "--json"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    payload = json.loads(out)
+    assert payload["refused"] is False
+    assert payload["results"][0]["text"]
+
+    rc = cli_main(["stats", "--index", index, "--json"])
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["documents"] == 2
+
+    rc = cli_main(["metrics"])
+    assert "# TYPE" in capsys.readouterr().out
+
+
+def test_cli_reingest_skips(cfg, docs_dir, tmp_path, capsys, monkeypatch):
+    import triple_hybrid_rag_tpu.config as config_mod
+
+    monkeypatch.setattr(config_mod, "_SETTINGS", cfg)
+    index = str(tmp_path / "cli_index2")
+    cli_main(["ingest", str(docs_dir), "--index", index])
+    capsys.readouterr()
+    cli_main(["ingest", str(docs_dir), "--index", index])
+    assert "[SKIP]" in capsys.readouterr().out

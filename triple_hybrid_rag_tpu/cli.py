@@ -1,0 +1,173 @@
+"""``thr`` command-line interface: ingest / query / bench / stats / metrics.
+
+The reference declares a ``thr`` entry point that does not exist
+(``/root/reference/triple-hybrid-rag/pyproject.toml:95`` points at a missing
+``cli.py``) and ships operator scripts instead (``scripts/ingest_rag2.py`` file/dir
+ingestion, ``scripts/test_rag2.py`` interactive query CLI — SURVEY.md §2.5). This CLI
+provides both, for real:
+
+    thr ingest path/ --index ./index          # ingest files, checkpoint the index
+    thr query "payment terms" --index ./index # one-shot query
+    thr query --interactive --index ./index   # REPL (test_rag2.py parity)
+    thr stats --index ./index
+    thr bench --n 100000                      # run the benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--index", default="./thr_index", help="checkpoint directory")
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from .facade import RAG
+
+    index_dir = Path(args.index)
+    rag = RAG.load(index_dir) if (index_dir / "manifest.json").exists() else RAG()
+    results = []
+    for target in args.paths:
+        t = Path(target)
+        if t.is_dir():
+            results.extend(rag.ingest_directory(t, force=args.force))
+        else:
+            results.append(rag.ingest(t, force=args.force))
+    rag.save(index_dir)
+    for r in results:
+        if args.json:
+            print(json.dumps({
+                "file": r.filename, "status": r.status.value, "skipped": r.skipped,
+                "parents": r.n_parents, "children": r.n_children,
+                "entities": r.n_entities, "error": r.error,
+            }))
+        else:
+            flag = "SKIP" if r.skipped else r.status.value.upper()
+            print(f"[{flag}] {r.filename}: {r.n_parents} parents, "
+                  f"{r.n_children} children, {r.n_entities} entities"
+                  + (f" ({r.error})" if r.error else ""))
+    failed = sum(1 for r in results if r.status.value == "failed")
+    print(f"ingested {len(results)} file(s), {failed} failed -> {index_dir}")
+    return 1 if failed else 0
+
+
+def _print_result(result, as_json: bool) -> None:
+    if as_json:
+        print(json.dumps({
+            "query": result.query,
+            "refused": result.refused,
+            "refusal_reason": result.refusal_reason,
+            "max_score": result.max_score,
+            "timings_ms": result.timings,
+            "results": [
+                {
+                    "chunk_id": r.chunk_id, "score": r.final_score,
+                    "channels": list(r.source_channels),
+                    "heading": r.section_heading, "text": r.text,
+                }
+                for r in result.results
+            ],
+        }))
+        return
+    if result.refused:
+        print(f"REFUSED: {result.refusal_reason}")
+        return
+    for i, r in enumerate(result.results, 1):
+        chans = "+".join(r.source_channels) or "-"
+        head = f" [{r.section_heading}]" if r.section_heading else ""
+        print(f"{i}. ({r.final_score:.3f}) [{chans}]{head}")
+        print("   " + r.text[:300].replace("\n", " "))
+    t = result.timings.get("total_ms")
+    if t is not None:
+        print(f"-- {len(result.results)} results in {t:.1f} ms")
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .facade import RAG
+
+    rag = RAG.load(Path(args.index))
+    if args.interactive or not args.query:
+        print("thr interactive query (empty line to exit)")
+        while True:
+            try:
+                q = input("query> ").strip()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not q:
+                break
+            _print_result(rag.query(q, top_k=args.top_k), args.json)
+        return 0
+    _print_result(rag.query(" ".join(args.query), top_k=args.top_k), args.json)
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    from .facade import RAG
+
+    rag = RAG.load(Path(args.index))
+    stats = rag.stats()
+    if args.json:
+        print(json.dumps(stats))
+    else:
+        for k, v in stats.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+def cmd_metrics(args: argparse.Namespace) -> int:
+    from .observability import rag_metrics
+
+    print(rag_metrics.prometheus_text())
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import os
+    import runpy
+
+    if args.n:
+        os.environ["BENCH_N"] = str(args.n)
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="thr", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("ingest", help="ingest files or directories into the index")
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--force", action="store_true", help="re-ingest even if unchanged")
+    _add_common(p)
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("query", help="query the index")
+    p.add_argument("query", nargs="*", help="query text (omit for --interactive)")
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--interactive", "-i", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("stats", help="index statistics")
+    _add_common(p)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("metrics", help="Prometheus metrics exposition")
+    p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.add_argument("--n", type=int, default=None, help="corpus size")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""The RAG facade: one object for ingest + query + persistence.
+
+The reference *advertises* this class in its package docstring but never implemented it
+(``/root/reference/triple-hybrid-rag/src/triple_hybrid_rag/__init__.py:14-21`` promises
+``rag = RAG(); rag.ingest("document.pdf"); results = rag.query("...")``). Here it exists:
+
+    from triple_hybrid_rag_tpu import RAG
+    rag = RAG()
+    rag.ingest("document.md")
+    result = rag.query("What are the payment terms?")
+    rag.save("./index")            # checkpoint
+    rag2 = RAG.load("./index")     # restore
+
+The facade owns an Ingestor (host corpus + entity store) and lazily (re)builds the
+Retriever/ShardedEngine whenever the corpus changed since the last query.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+from .config import RAGConfig, get_settings
+from .ingest import Ingestor
+from .retrieval import Retriever
+from .types import IngestionResult, RetrievalResult
+
+
+class RAG:
+    def __init__(
+        self,
+        config: Optional[RAGConfig] = None,
+        embedder=None,
+        use_sharded_engine: bool = False,
+    ) -> None:
+        self.config = config or get_settings()
+        self.ingestor = Ingestor(config=self.config, embedder=embedder)
+        self.use_sharded_engine = use_sharded_engine
+        self._retriever: Optional[Retriever] = None
+        self._engine = None
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+
+    def ingest(self, path: str | Path, **kwargs) -> IngestionResult:
+        return self.ingestor.ingest_file(path, **kwargs)
+
+    def ingest_directory(self, directory: str | Path, **kwargs) -> List[IngestionResult]:
+        return self.ingestor.ingest_directory(directory, **kwargs)
+
+    def ingest_text(self, text: str, name: str = "inline.txt", **kwargs) -> IngestionResult:
+        return self.ingestor.ingest_text(text, name=name, **kwargs)
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+
+    @property
+    def retriever(self) -> Retriever:
+        if self._retriever is None or self.ingestor.corpus.dirty:
+            self._retriever = self.ingestor.make_retriever()
+            self._engine = None
+        return self._retriever
+
+    def query(self, query: str, top_k: Optional[int] = None, **kwargs) -> RetrievalResult:
+        retriever = self.retriever
+        if self.use_sharded_engine:
+            if self._engine is None:
+                from .parallel import ShardedEngine, corpus_mesh
+
+                self._engine = ShardedEngine(retriever, corpus_mesh())
+            return self._engine.retrieve(query, top_k=top_k)
+        return retriever.retrieve(query, top_k=top_k, **kwargs)
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def save(self, directory: str | Path) -> Path:
+        from .index.checkpoint import save_ingestor
+
+        return save_ingestor(self.ingestor, directory)
+
+    @classmethod
+    def load(
+        cls, directory: str | Path, config: Optional[RAGConfig] = None, **kwargs
+    ) -> "RAG":
+        from .index.checkpoint import load_ingestor
+
+        ing = load_ingestor(directory, config=config)
+        rag = cls(config=ing.config, **kwargs)
+        rag.ingestor = ing
+        return rag
+
+    # ------------------------------------------------------------------
+
+    def stats(self) -> dict:
+        return {
+            **self.ingestor.corpus.stats(),
+            **{f"graph_{k}": v for k, v in self.ingestor.entity_store.stats().items()},
+        }
