@@ -133,6 +133,43 @@ def test_capacity_padding_scores_zero(index):
     assert np.all(scores[len(DOCS):] == 0.0)
 
 
+@pytest.mark.parametrize(
+    "query",
+    ["quick brown fox", "payment invoice", "fox", "nonexistent zebra", "the a of"],
+)
+def test_sorted_topk_matches_dense_path(index, cfg, query):
+    """score_postings_topk (sort-based sparse) must agree with dense scoring + top-k."""
+    import jax.numpy as jnp
+
+    analyzer = Analyzer(cfg)
+    qt = jnp.asarray(index.encode_query(analyzer.tokenize(query)))
+    ids_s, vals_s = index.search_sorted(qt, 8)
+    dense_scores = np.asarray(index.score(qt, backend="postings"))
+    ids_s, vals_s = np.asarray(ids_s), np.asarray(vals_s)
+    # every returned (id, score) must match the dense score exactly
+    for i, v in zip(ids_s, vals_s):
+        if i >= 0:
+            assert dense_scores[i] == pytest.approx(v, rel=1e-4)
+    # the returned set must be the true top-k of the dense scores
+    want = set(np.where(dense_scores > 0)[0][np.argsort(-dense_scores[dense_scores > 0])][:8])
+    got = set(ids_s[ids_s >= 0].tolist())
+    assert got == want
+
+
+def test_df_cap_truncates_but_keeps_high_tf():
+    cfg = RAGConfig(bm25_df_cap=2, capacity_round=8, max_query_terms=8, doc_term_capacity=32)
+    docs = ["fox", "fox fox", "fox fox fox", "fox fox fox fox"]
+    idx = build_bm25_index(docs, cfg)
+    assert idx.l_max == 2
+    import jax.numpy as jnp
+
+    qt = jnp.asarray(idx.encode_query(["fox"]))
+    ids, vals = idx.search_sorted(qt, 4)
+    ids = np.asarray(ids)
+    kept = set(ids[ids >= 0].tolist())
+    assert kept == {2, 3}  # the two highest-tf docs survive the cap
+
+
 def test_overflow_cap_keeps_top_weights():
     """Docs over doc_term_capacity keep their *highest-contribution* terms; the error of
     the termtable layout vs exact postings is bounded by the dropped (lowest) weights."""

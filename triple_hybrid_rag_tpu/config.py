@@ -101,7 +101,11 @@ class RAGConfig:
     bm25_b: float = 0.75
     max_query_terms: int = 32  # static query-term slots (padded/masked)
     doc_term_capacity: int = 128  # doc-major term-table width (per-child unique-term cap)
-    lexical_backend: str = "auto"  # "postings" | "termtable" | "auto"
+    lexical_backend: str = "auto"  # "postings" | "termtable" | "sorted" | "auto"
+    bm25_df_cap: int = 0  # 0 = uncapped; else truncate a term's postings to top-tf cap
+    # (impact pruning: ultra-common terms carry near-zero idf; capping bounds the
+    #  sorted-path postings window and device memory at 1M+ scale)
+    topk_backend: str = "exact"  # "exact" | "approx" (jax.lax.approx_max_k on TPU)
 
     # ---- graph channel (TPU-native replacement for PuppyGraph) ----
     graph_hops: int = 2  # k-hop expansion depth (puppygraph.py:130-167)

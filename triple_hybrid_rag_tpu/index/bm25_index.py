@@ -49,6 +49,10 @@ class BM25Index:
     vocab: Vocabulary
     config: RAGConfig
     overflow_docs: int = 0  # docs whose unique terms exceeded doc_term_capacity
+    # host NumPy copies of the CSR (offsets, lengths, postings_doc, postings_tf):
+    # kept so re-sharding never reads device arrays back (device->host is the slow
+    # direction on tunneled dev chips; on production hosts it merely saves a copy)
+    host_csr: Optional[tuple] = None
 
     def encode_query(self, keywords: Sequence[str]) -> np.ndarray:
         """Keywords -> padded i32[max_query_terms] term-id vector (OOV/pad = -1).
@@ -101,7 +105,21 @@ class BM25Index:
         (20260114_rag2_schema.sql:341-374)."""
         k = top_k or self.config.lexical_top_k
         qt = jnp.asarray(self.encode_query(keywords))
+        if self.config.lexical_backend == "sorted":
+            return self.search_sorted(qt, k)
         return masked_top_k(self.score(qt), k)
+
+    def search_sorted(self, query_terms: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array]:
+        """Sort-based sparse top-k (O(matched postings), no dense score vector) —
+        the scatter-free TPU path for large corpora; see ops.bm25.score_postings_topk."""
+        from ..ops.bm25 import score_postings_topk
+
+        return score_postings_topk(
+            self.offsets, self.lengths, self.postings_doc, self.postings_tf,
+            self.contrib_denom_k1, self.idf,
+            jnp.float32(self.config.bm25_k1 + 1.0), query_terms,
+            l_max=self.l_max, n_pad=self.n_pad, top_k=top_k,
+        )
 
 
 def tokenize_corpus(
@@ -145,19 +163,39 @@ def build_bm25_index(
     for tf in doc_tfs:
         for t in tf:
             df[t] += 1
-    l_max = int(df.max()) if n_docs else 1
+    # impact pruning: cap each term's stored postings at bm25_df_cap, keeping the
+    # highest-tf entries (ultra-common terms carry near-zero idf; the cap bounds the
+    # sorted-path gather window). idf still uses the TRUE df.
+    cap = config.bm25_df_cap if config.bm25_df_cap > 0 else 0
+    stored_df = np.minimum(df, cap) if cap else df.copy()
+    l_max = int(stored_df.max()) if n_docs else 1
     l_max = max(l_max, 1)
     offsets = np.zeros((vsize + 1,), dtype=np.int32)
-    np.cumsum(df, out=offsets[1:])
+    np.cumsum(stored_df, out=offsets[1:])
     nnz = int(offsets[-1])
     postings_doc = np.full((nnz + l_max,), n_pad, dtype=np.int32)
     postings_tf = np.zeros((nnz + l_max,), dtype=np.float32)
-    cursor = offsets[:-1].copy()
-    for d, tf in enumerate(doc_tfs):
-        for t, cnt in tf.items():
-            postings_doc[cursor[t]] = d
-            postings_tf[cursor[t]] = cnt
-            cursor[t] += 1
+    if cap:
+        # term-major assembly with per-term top-tf selection
+        term_postings: Dict[int, List[Tuple[int, int]]] = {}
+        for d, tf in enumerate(doc_tfs):
+            for t, cnt in tf.items():
+                term_postings.setdefault(t, []).append((d, cnt))
+        for t, plist in term_postings.items():
+            if len(plist) > cap:
+                plist = sorted(plist, key=lambda x: -x[1])[:cap]
+                plist.sort()  # keep doc order within the window
+            base = offsets[t]
+            for i, (d, cnt) in enumerate(plist):
+                postings_doc[base + i] = d
+                postings_tf[base + i] = cnt
+    else:
+        cursor = offsets[:-1].copy()
+        for d, tf in enumerate(doc_tfs):
+            for t, cnt in tf.items():
+                postings_doc[cursor[t]] = d
+                postings_tf[cursor[t]] = cnt
+                cursor[t] += 1
 
     # shared stats — pure NumPy on host: the build path must not issue eager device ops
     # (each one is a dispatch; prohibitive over remote-TPU links)
@@ -186,9 +224,10 @@ def build_bm25_index(
         term_ids[d, : len(ts)] = ts
         term_weights[d, : len(ts)] = w
 
+    stored_df_i32 = stored_df.astype(np.int32)
     return BM25Index(
         offsets=jnp.asarray(offsets),
-        lengths=jnp.asarray(df.astype(np.int32)),
+        lengths=jnp.asarray(stored_df_i32),  # stored window; idf keeps true df
         postings_doc=jnp.asarray(postings_doc),
         postings_tf=jnp.asarray(postings_tf),
         term_ids=jnp.asarray(term_ids),
@@ -201,4 +240,5 @@ def build_bm25_index(
         vocab=vocab,
         config=config,
         overflow_docs=overflow,
+        host_csr=(offsets, stored_df_i32, postings_doc, postings_tf),
     )

@@ -112,6 +112,108 @@ def score_termtable_batch(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("l_max", "n_pad", "top_k"))
+def score_postings_topk(
+    offsets: jax.Array,  # i32[V + 1]
+    lengths: jax.Array,  # i32[V]
+    postings_doc: jax.Array,  # i32[nnz_pad]
+    postings_tf: jax.Array,  # f32[nnz_pad]
+    contrib_denom_k1: jax.Array,  # f32[n_pad]
+    idf: jax.Array,  # f32[V]
+    k1_plus1: jax.Array,  # f32[]
+    query_terms: jax.Array,  # i32[Q]
+    *,
+    l_max: int,
+    n_pad: int,
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort-based sparse BM25 top-k: the TPU-native term-at-a-time path.
+
+    Scatter is the classic TPU weakness, so instead of accumulating into a dense
+    ``f32[N]`` score vector (:func:`score_postings`) this op stays entirely in the
+    *sparse* domain — work is O(matched postings), independent of corpus size:
+
+        1. gather each query term's postings window (contiguous dynamic-slices),
+        2. sort the (doc_id, contribution) pairs by doc_id (TPU sorts are fast,
+           bitonic over a few tens of thousands of elements),
+        3. segmented-sum runs of equal doc_id via cumsum differences at run ends,
+        4. top-k over the per-run totals.
+
+    Returns (ids i32[top_k], scores f32[top_k]) with -1/-inf invalid slots — the same
+    contract as ``masked_top_k``, so it drops into the fusion stage directly.
+
+    Requires a capped ``l_max`` (per-term postings window). Ultra-common terms beyond
+    the cap carry near-zero idf; the index builder truncates their postings to the
+    highest-tf entries (impact pruning) so the cap costs essentially nothing in rank
+    quality while bounding both memory and compute.
+
+    Determinism: runs are at most ``Q`` elements (a doc appears once per term window),
+    so per-run totals are computed with a *segmented doubling reduction* over a
+    canonical within-run order ((doc, query-slot) two-key sort). The summation tree
+    depends only on run-relative offsets — never on what precedes the run — so scores
+    are bit-identical whether a doc is scored on a full corpus or any shard slice
+    (the property that makes the sharded engine's merge reproduce single-device
+    results exactly).
+    """
+    q_slots = query_terms.shape[0]
+    positions = jnp.arange(l_max, dtype=jnp.int32)
+
+    def gather_term(q: jax.Array):
+        t_raw = query_terms[q]
+        q_valid = t_raw >= 0
+        t = jnp.where(q_valid, t_raw, 0)
+        start = offsets[t]
+        df = lengths[t]
+        docs = jax.lax.dynamic_slice(postings_doc, (start,), (l_max,))
+        tfs = jax.lax.dynamic_slice(postings_tf, (start,), (l_max,))
+        valid = (positions < df) & q_valid
+        denom = contrib_denom_k1[jnp.clip(docs, 0, n_pad - 1)]
+        contrib = idf[t] * tfs * k1_plus1 / (tfs + denom)
+        contrib = jnp.where(valid, contrib, 0.0)
+        docs = jnp.where(valid, docs, jnp.int32(n_pad))  # invalid -> sentinel (sorts last)
+        slots = jnp.full((l_max,), q, jnp.int32)
+        return docs, slots, contrib
+
+    docs, slots, contribs = jax.vmap(gather_term)(jnp.arange(q_slots))
+    flat_docs = docs.reshape(-1)
+    flat_slots = slots.reshape(-1)
+    flat_scores = contribs.reshape(-1)
+    p = flat_docs.shape[0]
+
+    # canonical order: by doc id, then by query slot (equal-doc runs become contiguous
+    # with a partition-independent internal order)
+    sorted_docs, _, sorted_scores = jax.lax.sort(
+        (flat_docs, flat_slots, flat_scores), dimension=-1, num_keys=2
+    )
+
+    # segmented suffix-sum by doubling: after step k, acc[i] = sum of run elements in
+    # [i, i + 2^k); runs never exceed q_slots elements
+    acc = sorted_scores
+    step = 1
+    while step < q_slots:
+        shifted_acc = jnp.concatenate([acc[step:], jnp.zeros((step,), acc.dtype)])
+        shifted_doc = jnp.concatenate(
+            [sorted_docs[step:], jnp.full((step,), -9, jnp.int32)]
+        )
+        acc = acc + jnp.where(shifted_doc == sorted_docs, shifted_acc, 0.0)
+        step <<= 1
+
+    prev_docs = jnp.concatenate([jnp.full((1,), -9, jnp.int32), sorted_docs[:-1]])
+    is_start = sorted_docs != prev_docs  # acc at run starts = full run total
+
+    score_at_start = jnp.where(is_start & (sorted_docs < n_pad), acc, -jnp.inf)
+    vals, pos = jax.lax.top_k(score_at_start, min(top_k, p))
+    ids = sorted_docs[pos]
+    ok = vals > -jnp.inf
+    ids = jnp.where(ok, ids, -1).astype(jnp.int32)
+    vals = jnp.where(ok, vals, -jnp.inf)
+    if min(top_k, p) < top_k:
+        pad = top_k - min(top_k, p)
+        ids = jnp.concatenate([ids, jnp.full((pad,), -1, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.full((pad,), -jnp.inf, jnp.float32)])
+    return ids, vals
+
+
 def bm25_idf(n_docs: int | jax.Array, df: jax.Array) -> jax.Array:
     """Okapi BM25 idf with the +1 smoothing that keeps it positive."""
     return jnp.log1p((n_docs - df + 0.5) / (df + 0.5))

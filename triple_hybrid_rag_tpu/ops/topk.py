@@ -66,10 +66,22 @@ def merge_topk(
     (ids, scores) pairs ride ICI via all_gather, and this op selects the global winners.
     """
     flat_scores = scores.reshape(-1)
-    flat_ids = ids.reshape(-1)
-    vals, idx = jax.lax.top_k(jnp.where(flat_ids < 0, NEG_INF, flat_scores), k)
-    ok = vals > NEG_INF
+    flat_ids = ids.reshape(-1).astype(jnp.int32)
+    masked = jnp.where(flat_ids < 0, NEG_INF, flat_scores)
+    # lexicographic sort (score desc, id asc) so ties break identically on any mesh
+    # size — the merged result is bit-identical to a single-device top-k
+    neg_scores = -masked
+    sort_ids = jnp.where(flat_ids < 0, jnp.iinfo(jnp.int32).max, flat_ids)
+    _, sorted_ids, sorted_scores = jax.lax.sort(
+        (neg_scores, sort_ids, masked), dimension=-1, num_keys=2
+    )
+    kk = min(k, flat_ids.shape[0])
+    top_ids, top_scores = sorted_ids[:kk], sorted_scores[:kk]
+    if kk < k:
+        top_ids = jnp.concatenate([top_ids, jnp.full((k - kk,), -1, jnp.int32)])
+        top_scores = jnp.concatenate([top_scores, jnp.full((k - kk,), NEG_INF)])
+    ok = top_scores > NEG_INF
     return (
-        jnp.where(ok, flat_ids[idx], -1).astype(jnp.int32),
-        jnp.where(ok, vals, NEG_INF),
+        jnp.where(ok, top_ids, -1).astype(jnp.int32),
+        jnp.where(ok, top_scores, NEG_INF),
     )
