@@ -1,0 +1,63 @@
+"""Quality-harness tests: metric math vs oracles, config ladder sanity."""
+
+import numpy as np
+import pytest
+
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.eval import (
+    evaluate_baseline_configs,
+    make_eval_corpus,
+    mrr,
+    ndcg_at_k,
+    recall_at_k,
+)
+
+
+def test_recall_at_k():
+    assert recall_at_k(["a", "b", "c"], {"a", "c"}, k=2) == 0.5
+    assert recall_at_k(["a", "b", "c"], {"a", "c"}, k=3) == 1.0
+    assert recall_at_k([], {"a"}, k=5) == 0.0
+    assert recall_at_k(["a"], set(), k=5) == 0.0
+
+
+def test_ndcg_at_k():
+    # perfect ranking
+    assert ndcg_at_k(["a", "b"], {"a", "b"}, k=2) == pytest.approx(1.0)
+    # relevant item at rank 2 only: dcg = 1/log2(3), idcg = 1/log2(2)
+    got = ndcg_at_k(["x", "a"], {"a"}, k=2)
+    assert got == pytest.approx((1 / np.log2(3)) / 1.0)
+    assert ndcg_at_k(["x", "y"], {"a"}, k=2) == 0.0
+
+
+def test_mrr():
+    assert mrr(["x", "a"], {"a"}) == 0.5
+    assert mrr(["a"], {"a"}) == 1.0
+    assert mrr(["x"], {"a"}) == 0.0
+
+
+def test_eval_corpus_structure(small_config):
+    cfg = small_config.replace(embedding_dtype="float32")
+    data = make_eval_corpus(cfg, docs_per_topic=2, distractors=5)
+    assert len(data.corpus) > 10
+    assert data.queries
+    kinds = {q.kind for q in data.queries}
+    assert kinds == {"keyword", "paraphrase", "entity"}
+    for q in data.queries:
+        assert q.relevant_chunk_ids  # every query has labeled relevant chunks
+
+
+@pytest.mark.slow
+def test_baseline_config_ladder():
+    """Hybrid fusion must not be worse than the weakest single channel, and the full
+    pipeline must retrieve meaningfully (recall@10 well above random)."""
+    results = evaluate_baseline_configs(k=10)
+    r = {name: m["recall@10"] for name, m in results.items()}
+    n = {name: m["ndcg@10"] for name, m in results.items()}
+    # all configs must be far above random (distractors >> relevant)
+    assert r["1_lexical_only"] > 0.3
+    assert r["3_dual_hybrid_rrf"] > 0.3
+    assert r["5_full_pipeline"] > 0.3
+    # dual hybrid at least as good as the weaker single channel
+    assert r["3_dual_hybrid_rrf"] >= min(r["1_lexical_only"], r["2_dense_only"]) - 1e-6
+    # ndcg sane
+    assert 0.0 < n["5_full_pipeline"] <= 1.0
