@@ -144,6 +144,9 @@ class RAGConfig:
     metrics_enabled: bool = True
     timings_enabled: bool = True
 
+    # ---- native fast path (C++ ingestion loops; graceful fallback to Python) ----
+    use_native: bool = True
+
     @classmethod
     def from_env(cls, **overrides: object) -> "RAGConfig":
         """Build a config from ``RAG_*`` environment variables (reference env parity)."""

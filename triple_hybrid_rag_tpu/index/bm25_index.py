@@ -137,7 +137,16 @@ def build_bm25_index(
     vocab: Optional[Vocabulary] = None,
     token_ids: Optional[List[List[int]]] = None,
 ) -> BM25Index:
-    """Build the lexical index from child-chunk texts (single pass, NumPy host build)."""
+    """Build the lexical index from child-chunk texts.
+
+    Uses the C++ fast path (``native.py``) for tokenization + postings assembly when
+    available and enabled; otherwise the pure-Python/NumPy build. Both produce
+    identical arrays (parity-tested in tests/test_native.py)."""
+    if token_ids is None and vocab is None and config.use_native:
+        from .. import native
+
+        if native.available():
+            return _build_native(texts, config)
     analyzer = analyzer or Analyzer(config)
     if token_ids is None:
         token_ids, vocab = tokenize_corpus(texts, analyzer, vocab)
@@ -241,4 +250,107 @@ def build_bm25_index(
         config=config,
         overflow_docs=overflow,
         host_csr=(offsets, stored_df_i32, postings_doc, postings_tf),
+    )
+
+
+def _build_native(texts: Sequence[str], config: RAGConfig) -> BM25Index:
+    """C++ fast-path build: native tokenization + postings assembly, NumPy finish.
+
+    Produces arrays identical to the Python build (same analyzer semantics, same
+    df capping by top-tf, same layouts)."""
+    from .. import native
+
+    na = native.NativeAnalyzer(config)
+    if texts:
+        tokens, tok_offsets = na.tokenize_batch(list(texts), add_to_vocab=True)
+    else:
+        tokens = np.zeros(0, np.int32)
+        tok_offsets = np.zeros(1, np.int64)
+    vocab = Vocabulary.from_list(na.vocab_terms())
+    n_docs = len(texts)
+    n_pad = config.round_capacity(max(n_docs, 1))
+    vsize = max(len(vocab), 1)
+
+    df, doc_len = native.native_postings_count(tokens, tok_offsets, vsize)
+    doc_lengths = np.zeros(n_pad, np.float32)
+    doc_lengths[:n_docs] = doc_len
+    avgdl = float(doc_lengths[:n_docs].mean()) if n_docs else 1.0
+
+    denom = (
+        config.bm25_k1
+        * (1.0 - config.bm25_b + config.bm25_b * doc_lengths / max(avgdl, 1e-6))
+    ).astype(np.float32)
+    idf = np.log1p((n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
+    k1p1 = config.bm25_k1 + 1.0
+
+    res = native.native_postings_fill(
+        tokens, tok_offsets, vsize, df, idf, denom[:n_docs], k1p1,
+        config.doc_term_capacity,
+    )
+
+    # df capping (top-tf per oversized term, matching the Python build)
+    cap = config.bm25_df_cap if config.bm25_df_cap > 0 else 0
+    full_offsets = res["csr_offsets"]
+    pd_full, pt_full = res["postings_doc"], res["postings_tf"]
+    if cap:
+        stored_df = np.minimum(df, cap)
+        offsets = np.zeros(vsize + 1, np.int64)
+        np.cumsum(stored_df, out=offsets[1:])
+        nnz = int(offsets[-1])
+        l_max = max(int(stored_df.max()) if n_docs else 1, 1)
+        postings_doc = np.full(nnz + l_max, n_pad, np.int32)
+        postings_tf = np.zeros(nnz + l_max, np.float32)
+        for t in range(vsize):
+            s, e = int(full_offsets[t]), int(full_offsets[t + 1])
+            if e - s <= cap:
+                o = int(offsets[t])
+                postings_doc[o : o + e - s] = pd_full[s:e]
+                postings_tf[o : o + e - s] = pt_full[s:e]
+            else:
+                sel = np.argpartition(-pt_full[s:e], cap - 1)[:cap]
+                sel.sort()  # keep doc-ascending order inside the window
+                o = int(offsets[t])
+                postings_doc[o : o + cap] = pd_full[s:e][sel]
+                postings_tf[o : o + cap] = pt_full[s:e][sel]
+        stored_df_i32 = stored_df.astype(np.int32)
+    else:
+        l_max = max(int(df.max()) if n_docs else 1, 1)
+        nnz = int(full_offsets[-1])
+        offsets = full_offsets
+        postings_doc = np.full(nnz + l_max, n_pad, np.int32)
+        postings_tf = np.zeros(nnz + l_max, np.float32)
+        postings_doc[:nnz] = pd_full
+        postings_tf[:nnz] = pt_full
+        stored_df_i32 = df.astype(np.int32)
+
+    # term table: fold idf + tf saturation into weights (query-independent)
+    L = config.doc_term_capacity
+    table_ids_small = res["table_ids"]
+    table_tfs_small = res["table_tfs"]
+    term_ids = np.full((n_pad, L), DOC_PAD, dtype=np.int32)
+    term_weights = np.zeros((n_pad, L), dtype=np.float32)
+    if n_docs:
+        term_ids[:n_docs] = table_ids_small
+        valid_slots = table_ids_small >= 0
+        safe_ids = np.where(valid_slots, table_ids_small, 0)
+        tfs = table_tfs_small
+        w = idf[safe_ids] * tfs * k1p1 / (tfs + denom[:n_docs, None])
+        term_weights[:n_docs] = np.where(valid_slots, w, 0.0)
+
+    return BM25Index(
+        offsets=jnp.asarray(offsets.astype(np.int32)),
+        lengths=jnp.asarray(stored_df_i32),
+        postings_doc=jnp.asarray(postings_doc),
+        postings_tf=jnp.asarray(postings_tf),
+        term_ids=jnp.asarray(term_ids),
+        term_weights=jnp.asarray(term_weights),
+        contrib_denom_k1=jnp.asarray(denom),
+        idf=jnp.asarray(idf),
+        n_docs=n_docs,
+        n_pad=n_pad,
+        l_max=l_max,
+        vocab=vocab,
+        config=config,
+        overflow_docs=res["overflow_docs"],
+        host_csr=(offsets.astype(np.int32), stored_df_i32, postings_doc, postings_tf),
     )
