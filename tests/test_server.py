@@ -1,0 +1,108 @@
+"""HTTP serving host tests: drive the real socket surface."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.facade import RAG
+from triple_hybrid_rag_tpu.server import serve
+
+
+@pytest.fixture
+def cfg(small_config):
+    return small_config.replace(
+        graph_enabled=False, embedding_dtype="float32", safety_threshold=0.2
+    )
+
+
+@pytest.fixture
+def server(cfg):
+    rag = RAG(config=cfg)
+    rag.ingest_text(
+        "# Payments\n\nInvoices settle within thirty days of billing.", name="pay.md"
+    )
+    rag.ingest_text("# Wildlife\n\nRed foxes inhabit the northern forest.", name="wild.md")
+    httpd = serve(host="127.0.0.1", port=0, rag=rag)  # port 0: OS-assigned
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read().decode()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_query_endpoint(server):
+    status, body = _post(server + "/query", {"query": "invoice settlement", "top_k": 2})
+    assert status == 200
+    assert body["refused"] is False
+    assert body["results"]
+    top = body["results"][0]
+    assert "Invoices" in top["text"]
+    assert "final" in top["scores"]
+    assert "timings_ms" in body
+
+
+def test_query_validation(server):
+    status, body = _post(server + "/query", {})
+    assert status == 400
+    assert "query" in body["error"]
+    status, _ = _post(server + "/query", {"query": "   "})
+    assert status == 400
+
+
+def test_ingest_endpoint_then_query(server):
+    status, body = _post(
+        server + "/ingest", {"text": "Quantum processors need cryogenic cooling.", "name": "q.md"}
+    )
+    assert status == 200 and body["status"] == "completed"
+    status, body = _post(server + "/query", {"query": "quantum cryogenic cooling"})
+    assert status == 200
+    assert any("Quantum" in r["text"] for r in body["results"])
+
+
+def test_ingest_validation(server):
+    status, body = _post(server + "/ingest", {})
+    assert status == 400
+
+
+def test_metrics_endpoint(server):
+    _post(server + "/query", {"query": "foxes forest"})
+    status, text = _get(server + "/metrics")
+    assert status == 200
+    assert "server_queries_total" in text
+    assert "retrieval_latency_ms_bucket" in text
+
+
+def test_health_and_stats(server):
+    status, text = _get(server + "/healthz")
+    assert status == 200
+    body = json.loads(text)
+    assert body["status"] == "ok" and body["children"] >= 2
+    status, text = _get(server + "/stats")
+    assert json.loads(text)["documents"] == 2
+
+
+def test_unknown_route(server):
+    status, _ = _get(server + "/metrics")  # sanity the server is up
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/nope")
+    assert e.value.code == 404

@@ -137,6 +137,18 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from .server import serve
+
+    httpd = serve(host=args.host, port=args.port, index_dir=args.index)
+    print(f"thr serving on http://{args.host}:{args.port} (index: {args.index})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="thr", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -164,6 +176,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="run the benchmark")
     p.add_argument("--n", type=int, default=None, help="corpus size")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("serve", help="HTTP serving host (/query /ingest /metrics)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--index", default="./thr_index")
+    p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -266,6 +266,22 @@ class Retriever:
         timings["decode_ms"] = (time.perf_counter() - t0) * 1e3
         timings["total_ms"] = (time.perf_counter() - t_total) * 1e3
 
+        if cfg.metrics_enabled:
+            from .observability import rag_metrics
+            from .observability.trace import tracer
+
+            rag_metrics.counter("retrieval_queries_total").inc()
+            rag_metrics.histogram("retrieval_latency_ms").observe(timings["total_ms"])
+            for ch, n in channel_counts.items():
+                rag_metrics.counter("retrieval_channel_hits_total", "").inc(
+                    n, labels={"channel": ch}
+                )
+            if refused:
+                rag_metrics.counter("retrieval_refusals_total").inc()
+            for stage, ms in timings.items():
+                if stage != "total_ms":
+                    tracer.stage(query[:64], stage, ms)
+
         return RetrievalResult(
             query=query,
             results=results,

@@ -1,0 +1,214 @@
+"""HTTP serving host: the query/ingest/metrics surface.
+
+The reference hosts retrieval inside a FastAPI voice-agent app (Twilio webhooks, tool
+dispatch — ``/root/reference/src/voice_agent/app.py:47-140``) plus a control-plane API
+(``backend/src/control_plane/api/routers/rag.py:19-60``). The framework-level analogue is
+this dependency-free stdlib server exposing the retrieval engine:
+
+    POST /query    {"query": str, "top_k"?: int}          -> RetrievalResult JSON
+    POST /ingest   {"text": str, "name"?: str} | {"path": str}
+    GET  /metrics  Prometheus text exposition (reference rag_metrics /metrics parity)
+    GET  /healthz  liveness + corpus stats
+    GET  /stats    corpus + graph stats
+
+Startup pre-warms the compiled query program with a dummy query (the reference pre-warms
+tools/VAD to cut first-call latency from seconds to <100ms, app.py:57 — here pre-warming
+moves the XLA compile out of the first user query). Threaded server; queries serialize
+through a lock around the device engine (single-stream device execution; scale-out is
+the mesh's job, not thread concurrency).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+from .config import RAGConfig, get_settings
+from .facade import RAG
+from .observability import rag_metrics
+from .observability.trace import tracer
+from .types import RetrievalResult
+
+
+def result_to_dict(result: RetrievalResult) -> dict:
+    return {
+        "query": result.query,
+        "refused": result.refused,
+        "refusal_reason": result.refusal_reason,
+        "max_score": result.max_score,
+        "timings_ms": {k: round(v, 3) for k, v in result.timings.items()},
+        "channel_counts": result.channel_counts,
+        "results": [
+            {
+                "chunk_id": r.chunk_id,
+                "parent_id": r.parent_id,
+                "doc_id": r.doc_id,
+                "text": r.text,
+                "parent_text": r.parent_text,
+                "section_heading": r.section_heading,
+                "pages": [r.page_start, r.page_end],
+                "scores": {
+                    "final": r.final_score,
+                    "rrf": r.rrf_score,
+                    "rerank": r.rerank_score,
+                    "lexical": r.lexical_score,
+                    "semantic": r.semantic_score,
+                    "graph": r.graph_score,
+                },
+                "source_channels": list(r.source_channels),
+            }
+            for r in result.results
+        ],
+    }
+
+
+class RAGServer:
+    """Server state: a RAG facade + device-engine lock + prewarm."""
+
+    def __init__(
+        self,
+        rag: Optional[RAG] = None,
+        config: Optional[RAGConfig] = None,
+        index_dir: Optional[str] = None,
+    ) -> None:
+        if rag is not None:
+            self.rag = rag
+        elif index_dir and (Path(index_dir) / "manifest.json").exists():
+            self.rag = RAG.load(index_dir)
+        else:
+            self.rag = RAG(config=config or get_settings())
+        self.index_dir = index_dir
+        self._lock = threading.Lock()
+        self.started_at = time.time()
+
+    def prewarm(self) -> float:
+        """Compile the query program before traffic (reference pre-warm parity)."""
+        t0 = time.time()
+        if len(self.rag.ingestor.corpus):
+            with self._lock:
+                self.rag.query("warmup query", top_k=1)
+        return time.time() - t0
+
+    # -- handlers --
+
+    def handle_query(self, payload: dict) -> dict:
+        query = payload.get("query", "")
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("missing 'query'")
+        top_k = payload.get("top_k")
+        qid = f"q{int(time.time() * 1e6):x}"
+        tracer.query_begin(qid, query)
+        with self._lock, rag_metrics.time("server_query_ms"):
+            result = self.rag.query(query, top_k=top_k)
+        rag_metrics.counter("server_queries_total").inc()
+        if result.refused:
+            rag_metrics.counter("server_refusals_total").inc()
+        tracer.query_end(qid, len(result.results), result.refused)
+        return result_to_dict(result)
+
+    def handle_ingest(self, payload: dict) -> dict:
+        with self._lock:
+            if "text" in payload:
+                res = self.rag.ingest_text(
+                    payload["text"], name=payload.get("name", "inline.txt"),
+                    force=bool(payload.get("force")),
+                )
+            elif "path" in payload:
+                res = self.rag.ingest(payload["path"], force=bool(payload.get("force")))
+            else:
+                raise ValueError("ingest needs 'text' or 'path'")
+            if self.index_dir:
+                self.rag.save(self.index_dir)
+        return {
+            "doc_id": res.doc_id,
+            "status": res.status.value,
+            "skipped": res.skipped,
+            "parents": res.n_parents,
+            "children": res.n_children,
+            "entities": res.n_entities,
+            "error": res.error,
+        }
+
+    def handle_stats(self) -> dict:
+        return self.rag.stats()
+
+    def handle_health(self) -> dict:
+        return {
+            "status": "ok",
+            "uptime_s": round(time.time() - self.started_at, 1),
+            **self.rag.stats(),
+        }
+
+
+def make_handler(server_state: RAGServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload, content_type="application/json"):
+            body = (
+                payload.encode()
+                if isinstance(payload, str)
+                else json.dumps(payload).encode()
+            )
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            try:
+                if self.path == "/metrics":
+                    self._send(200, rag_metrics.prometheus_text(), "text/plain; version=0.0.4")
+                elif self.path == "/healthz":
+                    self._send(200, server_state.handle_health())
+                elif self.path == "/stats":
+                    self._send(200, server_state.handle_stats())
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as e:  # pragma: no cover
+                self._send(500, {"error": str(e)})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            try:
+                if self.path == "/query":
+                    self._send(200, server_state.handle_query(payload))
+                elif self.path == "/ingest":
+                    self._send(200, server_state.handle_ingest(payload))
+                else:
+                    self._send(404, {"error": "not found"})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:
+                rag_metrics.counter("server_errors_total").inc()
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(
+    host: str = "127.0.0.1",
+    port: int = 8400,
+    rag: Optional[RAG] = None,
+    index_dir: Optional[str] = None,
+    prewarm: bool = True,
+) -> ThreadingHTTPServer:
+    """Create (and return) the HTTP server; caller runs serve_forever()."""
+    state = RAGServer(rag=rag, index_dir=index_dir)
+    if prewarm:
+        warm_s = state.prewarm()
+        rag_metrics.gauge("server_prewarm_seconds").set(warm_s)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.rag_state = state  # type: ignore[attr-defined]
+    return httpd
