@@ -52,7 +52,41 @@ def _seed_from(text: str) -> int:
     return int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:8], "little")
 
 
-class HashEmbedder:
+class _ImageHashMixin:
+    """Deterministic image embeddings from raw bytes (multimodal-parity stand-in for
+    the reference's Qwen3-VL image embedding path, core/embedder.py:141-210).
+    An image embeds as a unit Gaussian seeded by its content hash: identical bytes =>
+    identical vector, so image dedup/self-retrieval semantics hold end-to-end. Swap
+    a real vision encoder in by overriding ``embed_images``."""
+
+    dim: int
+
+    def embed_images(self, images: Sequence[bytes]) -> np.ndarray:
+        if not images:
+            return np.zeros((0, self.dim), np.float32)
+        out = np.zeros((len(images), self.dim), np.float32)
+        for i, data in enumerate(images):
+            seed = int.from_bytes(hashlib.sha256(b"img\x00" + data).digest()[:8], "little")
+            v = np.random.default_rng(seed).standard_normal(self.dim).astype(np.float32)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+    def embed_mixed(self, items: Sequence[tuple]) -> np.ndarray:
+        """items: (modality, payload) pairs with modality 'text' | 'image'
+        (lib parity: core/embedder.py:262 embed_mixed)."""
+        out = np.zeros((len(items), self.dim), np.float32)
+        for i, (modality, payload) in enumerate(items):
+            if modality == "image":
+                out[i] = self.embed_images([payload])[0]
+            else:
+                try:
+                    out[i] = self.embed_query(str(payload))
+                except ValueError:
+                    pass  # untokenizable text -> zero vector (fail-soft)
+        return out
+
+
+class HashEmbedder(_ImageHashMixin):
     """Deterministic per-text Gaussian embedding (reference E2E mock pattern)."""
 
     def __init__(self, dim: int = 2048) -> None:
@@ -73,7 +107,7 @@ class HashEmbedder:
         return self._one(text)
 
 
-class BowHashEmbedder:
+class BowHashEmbedder(_ImageHashMixin):
     """Deterministic bag-of-words hash embedding with real similarity structure.
 
     Each token hashes to a fixed Gaussian direction; a text embeds as the L2-normalized
