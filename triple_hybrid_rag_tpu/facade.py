@@ -66,12 +66,25 @@ class RAG:
     def query(self, query: str, top_k: Optional[int] = None, **kwargs) -> RetrievalResult:
         retriever = self.retriever
         if self.use_sharded_engine:
-            if self._engine is None:
-                from .parallel import ShardedEngine, corpus_mesh
-
-                self._engine = ShardedEngine(retriever, corpus_mesh())
-            return self._engine.retrieve(query, top_k=top_k)
+            return self._get_engine().retrieve(query, top_k=top_k)
         return retriever.retrieve(query, top_k=top_k, **kwargs)
+
+    def query_batch(
+        self, queries: List[str], top_k: Optional[int] = None
+    ) -> List[RetrievalResult]:
+        """Batched retrieval through the one-dispatch engine (the serving path —
+        batching amortizes the host->device round trip; see parallel/engine.py)."""
+        if not queries:
+            return []
+        return self._get_engine().retrieve_batch(queries, top_k=top_k)
+
+    def _get_engine(self):
+        retriever = self.retriever  # may invalidate self._engine via rebuild
+        if self._engine is None:
+            from .parallel import ShardedEngine, corpus_mesh
+
+            self._engine = ShardedEngine(retriever, corpus_mesh())
+        return self._engine
 
     # ------------------------------------------------------------------
     # persistence

@@ -47,6 +47,39 @@ class DenseIndex:
         """Cosine scores f32[n_pad] for a unit query vector (single MXU matvec)."""
         return _dense_scores(self.embeddings, query_vec)
 
+    def append(self, vectors: np.ndarray) -> "DenseIndex":
+        """Incremental update: write new rows into spare capacity on device.
+
+        The XLA static-shape answer to incremental indexing (SURVEY.md §7 hard part (c)):
+        arrays are capacity-padded, so appends that fit are a single on-device
+        ``dynamic_update_slice`` + occupancy-mask extension — no host round trip, no
+        recompile (shapes unchanged). When capacity is exceeded the index grows to the
+        next capacity multiple (one re-pad, then future appends are in-place again).
+        Returns a new index (functionally updated arrays; the old one stays valid).
+        """
+        n_new = int(vectors.shape[0])
+        if n_new == 0:
+            return self
+        new_total = self.n_docs + n_new
+        emb = self.embeddings
+        valid = self.valid
+        n_pad = self.n_pad
+        if new_total > n_pad:
+            n_pad = self.config.round_capacity(new_total)
+            emb = jnp.pad(emb, ((0, n_pad - emb.shape[0]), (0, 0)))
+            valid = jnp.pad(valid, (0, n_pad - valid.shape[0]))
+        rows = jnp.asarray(
+            truncate_matryoshka(vectors, self.dim), dtype=emb.dtype
+        )
+        emb = jax.lax.dynamic_update_slice(emb, rows, (self.n_docs, 0))
+        valid = jax.lax.dynamic_update_slice(
+            valid, jnp.ones((n_new,), bool), (self.n_docs,)
+        )
+        return DenseIndex(
+            embeddings=emb, valid=valid, n_docs=new_total, n_pad=n_pad,
+            dim=self.dim, config=self.config,
+        )
+
     def search(
         self, query_vec: np.ndarray | jax.Array, top_k: Optional[int] = None
     ) -> Tuple[jax.Array, jax.Array]:

@@ -26,6 +26,32 @@ class MaxSimIndex:
     n_parents: int
     config: RAGConfig
 
+    def append(self, new_tokens: np.ndarray) -> "MaxSimIndex":
+        """Incremental row append into spare capacity (see DenseIndex.append)."""
+        n_new = int(new_tokens.shape[0])
+        if n_new == 0:
+            return self
+        new_total = self.n_parents + n_new
+        toks, mask = self.tokens, self.mask
+        p_pad = toks.shape[0]
+        if new_total > p_pad:
+            p_pad = self.config.round_capacity(new_total)
+            toks = jnp.pad(toks, ((0, p_pad - toks.shape[0]), (0, 0), (0, 0)))
+            mask = jnp.pad(mask, ((0, p_pad - mask.shape[0]), (0, 0)))
+        td, d = toks.shape[1], toks.shape[2]
+        rows = np.zeros((n_new, td, d), np.float32)
+        t_avail = min(td, new_tokens.shape[1])
+        d_avail = min(d, new_tokens.shape[2])
+        rows[:, :t_avail, :d_avail] = new_tokens[:, :t_avail, :d_avail]
+        row_mask = np.any(rows != 0, axis=-1)
+        toks = jax.lax.dynamic_update_slice(
+            toks, jnp.asarray(rows, dtype=toks.dtype), (self.n_parents, 0, 0)
+        )
+        mask = jax.lax.dynamic_update_slice(
+            mask, jnp.asarray(row_mask), (self.n_parents, 0)
+        )
+        return MaxSimIndex(tokens=toks, mask=mask, n_parents=new_total, config=self.config)
+
     def score_candidates(
         self, parent_rows: jax.Array, q_tokens: jax.Array, q_mask: jax.Array
     ) -> jax.Array:

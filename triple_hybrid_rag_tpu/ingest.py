@@ -88,6 +88,7 @@ class Ingestor:
         self.entity_store = entity_store or EntityStore()
         self.ner_retries = ner_retries
         self.embeddings: Dict[str, np.ndarray] = {}  # chunk_id -> full-dim embedding
+        self._dense_cache: Optional[DenseIndex] = None  # incremental-append target
 
     # ------------------------------------------------------------------
 
@@ -235,20 +236,42 @@ class Ingestor:
     # ------------------------------------------------------------------
 
     def build_indexes(
-        self, with_graph: Optional[bool] = None
+        self, with_graph: Optional[bool] = None, incremental: bool = True
     ) -> Tuple[Optional[BM25Index], Optional[DenseIndex], Optional[GraphIndex]]:
-        """Derive fresh device indexes from the current corpus snapshot."""
+        """Derive device indexes from the current corpus snapshot.
+
+        The dense index updates *incrementally* when the corpus only grew since the
+        last build: new rows write into spare device capacity (DenseIndex.append, no
+        recompile). The lexical CSR rebuilds through the native fast path (cheap;
+        vocabulary/df are global statistics a row-append cannot patch)."""
         cfg = self.config
         texts = self.corpus.child_texts()
         bm25 = build_bm25_index(texts, cfg) if cfg.lexical_enabled else None
         dense = None
         if cfg.semantic_enabled:
-            vecs = np.zeros((len(self.corpus), cfg.embedding_dim_full), np.float32)
-            for c in self.corpus.children:
-                v = self.embeddings.get(c.chunk_id)
-                if v is not None:
-                    vecs[c.row] = v
-            dense = build_dense_index(vecs, cfg)
+            cached = self._dense_cache if incremental else None
+            if cached is not None and (
+                cached.dim != cfg.embedding_dim or cached.n_docs > len(self.corpus)
+            ):
+                cached = None  # config changed or corpus rebuilt: full build
+            if cached is not None:
+                new_children = self.corpus.children[cached.n_docs :]
+                new_vecs = np.zeros(
+                    (len(new_children), cfg.embedding_dim_full), np.float32
+                )
+                for i, c in enumerate(new_children):
+                    v = self.embeddings.get(c.chunk_id)
+                    if v is not None:
+                        new_vecs[i] = v
+                dense = cached.append(new_vecs)
+            else:
+                vecs = np.zeros((len(self.corpus), cfg.embedding_dim_full), np.float32)
+                for c in self.corpus.children:
+                    v = self.embeddings.get(c.chunk_id)
+                    if v is not None:
+                        vecs[c.row] = v
+                dense = build_dense_index(vecs, cfg)
+            self._dense_cache = dense
         graph = None
         if (with_graph if with_graph is not None else cfg.graph_enabled):
             graph = build_graph_index(self.entity_store, self.corpus, cfg)
