@@ -85,6 +85,9 @@ def build_synthetic(cfg: RAGConfig):
     idf = np.log1p((N - df + 0.5) / (df + 0.5)).astype(np.float32)
     k1, b = cfg.bm25_k1, cfg.bm25_b
     denom_val = k1 * (1.0 - b + b * 1.0)
+    # precomputed per-posting impacts (tf==1 uniform): idf * (k1+1) / (1 + denom)
+    pw = np.zeros(nnz + l_max, np.float32)
+    pw[:nnz] = (idf[st] * (k1 + 1.0) / (1.0 + denom_val)).astype(np.float32)
 
     bm25 = BM25Index(
         offsets=jnp.asarray(offsets.astype(np.int32)),
@@ -98,6 +101,8 @@ def build_synthetic(cfg: RAGConfig):
         n_docs=N, n_pad=n_pad, l_max=l_max, vocab=Vocabulary(), config=cfg,
         host_csr=(offsets.astype(np.int32), stored_df.astype(np.int32),
                   postings_doc, postings_tf),
+        postings_weight=jnp.asarray(pw),
+        host_weights=pw,
     )
 
     # ---- dense embeddings: unit rows, bf16, generated on device ----

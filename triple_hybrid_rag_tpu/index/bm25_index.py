@@ -53,6 +53,10 @@ class BM25Index:
     # kept so re-sharding never reads device arrays back (device->host is the slow
     # direction on tunneled dev chips; on production hosts it merely saves a copy)
     host_csr: Optional[tuple] = None
+    # precomputed per-posting BM25 contribution (idf + tf saturation + length norm
+    # folded at build): the query path gathers (doc, weight) only
+    postings_weight: Optional[jax.Array] = None  # f32[nnz + l_max]
+    host_weights: Optional[np.ndarray] = None
 
     def encode_query(self, keywords: Sequence[str]) -> np.ndarray:
         """Keywords -> padded i32[max_query_terms] term-id vector (OOV/pad = -1).
@@ -112,6 +116,13 @@ class BM25Index:
     def search_sorted(self, query_terms: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array]:
         """Sort-based sparse top-k (O(matched postings), no dense score vector) —
         the scatter-free TPU path for large corpora; see ops.bm25.score_postings_topk."""
+        if self.postings_weight is not None:
+            from ..ops.bm25 import score_postings_topk_pre
+
+            return score_postings_topk_pre(
+                self.offsets, self.lengths, self.postings_doc, self.postings_weight,
+                query_terms, l_max=self.l_max, n_pad=self.n_pad, top_k=top_k,
+            )
         from ..ops.bm25 import score_postings_topk
 
         return score_postings_topk(
@@ -234,6 +245,9 @@ def build_bm25_index(
         term_weights[d, : len(ts)] = w
 
     stored_df_i32 = stored_df.astype(np.int32)
+    pw = _fold_posting_weights(
+        postings_doc, postings_tf, nnz, stored_df, idf, denom, n_pad, k1p1
+    )
     return BM25Index(
         offsets=jnp.asarray(offsets),
         lengths=jnp.asarray(stored_df_i32),  # stored window; idf keeps true df
@@ -250,7 +264,29 @@ def build_bm25_index(
         config=config,
         overflow_docs=overflow,
         host_csr=(offsets, stored_df_i32, postings_doc, postings_tf),
+        postings_weight=jnp.asarray(pw),
+        host_weights=pw,
     )
+
+
+def _fold_posting_weights(
+    postings_doc: np.ndarray,
+    postings_tf: np.ndarray,
+    nnz: int,
+    stored_df: np.ndarray,
+    idf: np.ndarray,
+    denom: np.ndarray,
+    n_pad: int,
+    k1p1: float,
+) -> np.ndarray:
+    """Per-posting BM25 contribution: idf[t] * tf * (k1+1) / (tf + denom[d])."""
+    pw = np.zeros_like(postings_tf)
+    if nnz:
+        term_of = np.repeat(np.arange(stored_df.shape[0]), stored_df)
+        docs = np.clip(postings_doc[:nnz], 0, n_pad - 1)
+        tfs = postings_tf[:nnz]
+        pw[:nnz] = idf[term_of] * tfs * k1p1 / (tfs + denom[docs])
+    return pw
 
 
 def _build_native(texts: Sequence[str], config: RAGConfig) -> BM25Index:
@@ -337,6 +373,11 @@ def _build_native(texts: Sequence[str], config: RAGConfig) -> BM25Index:
         w = idf[safe_ids] * tfs * k1p1 / (tfs + denom[:n_docs, None])
         term_weights[:n_docs] = np.where(valid_slots, w, 0.0)
 
+    nnz_total = int(offsets[-1])
+    pw = _fold_posting_weights(
+        postings_doc, postings_tf, nnz_total, stored_df_i32.astype(np.int64),
+        idf, denom, n_pad, k1p1,
+    )
     return BM25Index(
         offsets=jnp.asarray(offsets.astype(np.int32)),
         lengths=jnp.asarray(stored_df_i32),
@@ -353,4 +394,6 @@ def _build_native(texts: Sequence[str], config: RAGConfig) -> BM25Index:
         config=config,
         overflow_docs=res["overflow_docs"],
         host_csr=(offsets.astype(np.int32), stored_df_i32, postings_doc, postings_tf),
+        postings_weight=jnp.asarray(pw),
+        host_weights=pw,
     )

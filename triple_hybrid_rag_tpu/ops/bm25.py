@@ -175,6 +175,52 @@ def score_postings_topk(
         return docs, slots, contrib
 
     docs, slots, contribs = jax.vmap(gather_term)(jnp.arange(q_slots))
+    return _sparse_topk_from_windows(docs, slots, contribs, q_slots, n_pad, top_k)
+
+
+@functools.partial(jax.jit, static_argnames=("l_max", "n_pad", "top_k"))
+def score_postings_topk_pre(
+    offsets: jax.Array,  # i32[V + 1]
+    lengths: jax.Array,  # i32[V]
+    postings_doc: jax.Array,  # i32[nnz_pad]
+    postings_weight: jax.Array,  # f32[nnz_pad] PRECOMPUTED BM25 contribution per posting
+    query_terms: jax.Array,  # i32[Q]
+    *,
+    l_max: int,
+    n_pad: int,
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Precomputed-impact variant of :func:`score_postings_topk`.
+
+    The BM25 contribution of a (term, doc) posting depends on nothing query-specific, so
+    the index builder folds idf + tf saturation + length norm into one weight per
+    posting (same trick as the doc-major term table). The query path then gathers only
+    (doc, weight) pairs — no random per-posting ``denom[doc]`` gather, no arithmetic —
+    roughly halving lexical HBM traffic. Scores/determinism identical to the unfused op.
+    """
+    q_slots = query_terms.shape[0]
+    positions = jnp.arange(l_max, dtype=jnp.int32)
+
+    def gather_term(q: jax.Array):
+        t_raw = query_terms[q]
+        q_valid = t_raw >= 0
+        t = jnp.where(q_valid, t_raw, 0)
+        start = offsets[t]
+        df = lengths[t]
+        docs = jax.lax.dynamic_slice(postings_doc, (start,), (l_max,))
+        w = jax.lax.dynamic_slice(postings_weight, (start,), (l_max,))
+        valid = (positions < df) & q_valid
+        contrib = jnp.where(valid, w, 0.0)
+        docs = jnp.where(valid, docs, jnp.int32(n_pad))
+        slots = jnp.full((l_max,), q, jnp.int32)
+        return docs, slots, contrib
+
+    docs, slots, contribs = jax.vmap(gather_term)(jnp.arange(q_slots))
+    return _sparse_topk_from_windows(docs, slots, contribs, q_slots, n_pad, top_k)
+
+
+def _sparse_topk_from_windows(docs, slots, contribs, q_slots: int, n_pad: int, top_k: int):
+    """Shared tail: 2-key sort, segmented doubling reduction, top-k over run starts."""
     flat_docs = docs.reshape(-1)
     flat_slots = slots.reshape(-1)
     flat_scores = contribs.reshape(-1)

@@ -39,7 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RAGConfig
-from ..ops.bm25 import score_postings_topk, score_termtable
+from ..ops.bm25 import score_postings_topk_pre, score_termtable
 from ..ops.fusion import FusedCandidates, apply_safety_denoise, fuse_rrf, minmax_normalize
 from ..ops.graph import khop_entity_scores, chunk_scores_from_entities
 from ..ops.maxsim import maxsim_scores
@@ -77,7 +77,18 @@ def _shard_csr(bm25, n_loc: int, s: int):
     v = lens.shape[0]
     nnz = int(offs[-1])
     pd = np.asarray(pd_full)[:nnz]
-    pt = np.asarray(pt_full)[:nnz]
+    if bm25.host_weights is not None:
+        pw_src = np.asarray(bm25.host_weights)[:nnz]
+    else:  # fold weights on host (restored/legacy index without precomputed impacts)
+        idf_h = np.asarray(bm25.idf)
+        denom_h = np.asarray(bm25.contrib_denom_k1)
+        tfs = np.asarray(pt_full)[:nnz]
+        term_of = np.repeat(np.arange(v, dtype=np.int64), lens)
+        k1p1 = bm25.config.bm25_k1 + 1.0
+        pw_src = idf_h[term_of] * tfs * k1p1 / (
+            tfs + denom_h[np.clip(pd, 0, denom_h.shape[0] - 1)]
+        )
+    pt = pw_src.astype(np.float32)  # engine postings carry PRECOMPUTED weights
 
     term_of = np.repeat(np.arange(v, dtype=np.int64), lens)
     shard_of = np.minimum(pd // max(n_loc, 1), s - 1).astype(np.int64)
@@ -162,8 +173,6 @@ class ShardedEngine:
                 self.lex_pd = shard_stacked(pd_s, 2)
                 self.lex_pt = shard_stacked(pt_s, 2)
                 self.lex_l_max = l_max
-                self.lex_idf = repl(bm.idf)
-                self.lex_denom = shard_rows(bm.contrib_denom_k1)
                 self.lexical_mode = "sorted"
             else:
                 self.term_ids = shard_rows(bm.term_ids, 2)
@@ -175,8 +184,6 @@ class ShardedEngine:
             self.lex_pd = shard_stacked(jnp.full((s, 2), -1, jnp.int32), 2)
             self.lex_pt = shard_stacked(jnp.zeros((s, 2), jnp.float32), 2)
             self.lex_l_max = 1
-            self.lex_idf = repl(jnp.zeros((1,), jnp.float32))
-            self.lex_denom = shard_rows(jnp.ones((n_pad,), jnp.float32))
         if self.lexical_mode != "termtable":
             self.term_ids = shard_rows(jnp.full((n_pad, 1), -2, jnp.int32), 2)
             self.term_weights = shard_rows(jnp.zeros((n_pad, 1), jnp.float32), 2)
@@ -234,7 +241,6 @@ class ShardedEngine:
         hops = cfg.graph_hops
         n_loc = self.n_loc
         l_max = self.lex_l_max
-        k1p1 = cfg.bm25_k1 + 1.0
 
         def merge(ids_b, vals_b, k):
             """[B, k_local] local -> [B, k] global exact merge via all_gather."""
@@ -247,7 +253,7 @@ class ShardedEngine:
             )
 
         def program(
-            lex_offsets, lex_lengths, lex_pd, lex_pt, lex_denom, lex_idf,
+            lex_offsets, lex_lengths, lex_pd, lex_pt,
             term_ids, term_weights, embeddings, valid, nbr, chunk_entities,
             parent_of, parent_emb, mx_tokens, mx_mask,
             q_terms, q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
@@ -260,9 +266,10 @@ class ShardedEngine:
             # ---- lexical ----
             if lex_mode == "sorted":
                 def lex_one(qt):
-                    return score_postings_topk(
-                        lex_offsets, lex_lengths, lex_pd, lex_pt, lex_denom, lex_idf,
-                        jnp.float32(k1p1), qt, l_max=l_max, n_pad=n_loc, top_k=k_lex,
+                    # lex_pt carries PRECOMPUTED per-posting BM25 contributions
+                    return score_postings_topk_pre(
+                        lex_offsets, lex_lengths, lex_pd, lex_pt,
+                        qt, l_max=l_max, n_pad=n_loc, top_k=k_lex,
                     )
                 l_ids, l_vals = jax.vmap(lex_one)(q_terms)  # [B, k_lex] local
                 lex_ids, lex_scores = merge(l_ids, l_vals, k_lex)
@@ -307,6 +314,13 @@ class ShardedEngine:
                     lex_i, lex_s, sem_i, sem_s, gr_i, gr_s, w,
                     rrf_k=cfg.rrf_k, top_k=cfg.rerank_top_k,
                 )
+                if cfg.conformal_denoise_enabled:
+                    from ..ops.fusion import conformal_denoise_mask
+
+                    keep = conformal_denoise_mask(
+                        fused.ids, fused.rrf, jnp.float32(cfg.conformal_alpha)
+                    )
+                    fused = fused._replace(ids=jnp.where(keep, fused.ids, -1))
                 safe = jnp.clip(fused.ids, 0, parent_of.shape[0] - 1)
                 parent_ids = jnp.where(fused.ids >= 0, parent_of[safe], -1)
                 if use_maxsim:
@@ -335,7 +349,7 @@ class ShardedEngine:
             program,
             mesh=mesh,
             in_specs=(
-                shard2, shard2, shard2, shard2, P("shard"), rep,
+                shard2, shard2, shard2, shard2,
                 shard2, shard2, shard2, P("shard"), rep, shard2,
                 rep, rep, rep, rep,
                 rep, rep, rep, rep, rep, rep, rep, rep, rep,
@@ -355,7 +369,6 @@ class ShardedEngine:
         zero_mask = jnp.zeros((1, 1), bool)
         return (
             self.lex_offsets, self.lex_lengths, self.lex_pd, self.lex_pt,
-            self.lex_denom, self.lex_idf,
             self.term_ids, self.term_weights, self.embeddings, self.valid,
             self.nbr, self.chunk_entities, self.parent_of,
             self.parent_emb if self.parent_emb is not None else zero2,
