@@ -99,7 +99,9 @@ class RAGConfig:
     # ---- lexical / BM25 engine (TPU-native replacement for Postgres FTS) ----
     bm25_k1: float = 1.5
     bm25_b: float = 0.75
-    max_query_terms: int = 32  # static query-term slots (padded/masked)
+    max_query_terms: int = 16  # static query-term slots (padded/masked); the sorted
+    # lexical path's work is Q x l_max, so this directly scales lexical cost — the
+    # reference planner emits ~5-10 keywords (query_planner.py few-shot examples)
     doc_term_capacity: int = 128  # doc-major term-table width (per-child unique-term cap)
     lexical_backend: str = "auto"  # "postings" | "termtable" | "sorted" | "auto"
     bm25_df_cap: int = 0  # 0 = uncapped; else truncate a term's postings to top-tf cap
