@@ -1,0 +1,74 @@
+"""Collection/org scoping tests (the reference's RLS + org_id filtering analogue,
+20260114_rag2_schema.sql:288-317)."""
+
+import numpy as np
+import pytest
+
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.facade import RAG
+
+
+@pytest.fixture
+def cfg(small_config):
+    return small_config.replace(
+        graph_enabled=False, embedding_dtype="float32", safety_threshold=0.0,
+        denoise_enabled=False,
+    )
+
+
+@pytest.fixture
+def rag(cfg):
+    r = RAG(config=cfg)
+    # same-ish content in two collections: scoping must separate them
+    r.ingest_text("Payment invoices settle within thirty days at Tenant A.",
+                  name="a1.md", collection="tenant_a")
+    r.ingest_text("Tenant A vacation policy grants fifteen days.",
+                  name="a2.md", collection="tenant_a")
+    r.ingest_text("Payment invoices settle within ninety days at Tenant B.",
+                  name="b1.md", collection="tenant_b")
+    return r
+
+
+def test_unscoped_sees_everything(rag):
+    r = rag.query("payment invoices settle")
+    texts = " ".join(x.text for x in r.results)
+    assert "Tenant A" in texts and "Tenant B" in texts
+
+
+def test_scoped_query_filters_all_channels(rag):
+    ra = rag.query("payment invoices settle", collection="tenant_a")
+    assert ra.results
+    assert all("Tenant A" in x.text for x in ra.results)
+    rb = rag.query("payment invoices settle", collection="tenant_b")
+    assert rb.results
+    assert all("Tenant B" in x.text for x in rb.results)
+
+
+def test_unknown_collection_refuses(rag):
+    r = rag.query("payment invoices", collection="tenant_zzz")
+    assert r.refused or r.results == []
+
+
+def test_scoped_lexical_only(rag, cfg):
+    rag.ingestor.config = cfg.replace(semantic_enabled=False)
+    rag.ingestor.corpus._dirty = True
+    rag._retriever = None
+    r = rag.query("payment invoices settle", collection="tenant_b")
+    assert r.results and all("Tenant B" in x.text for x in r.results)
+
+
+def test_scoped_semantic_only(rag, cfg):
+    rag.ingestor.config = cfg.replace(lexical_enabled=False)
+    rag.ingestor.corpus._dirty = True
+    rag._retriever = None
+    r = rag.query("payment invoices settle", collection="tenant_a")
+    assert r.results and all("Tenant A" in x.text for x in r.results)
+
+
+def test_collection_registry(rag):
+    corpus = rag.ingestor.corpus
+    assert set(corpus.collection_names()) == {"tenant_a", "tenant_b"}
+    rows = corpus.child_collection_rows()
+    ids = corpus.collection_ids()
+    a_rows = [r for c, r in zip(corpus.children, rows) if "Tenant A" in c.text]
+    assert all(r == ids["tenant_a"] for r in a_rows)

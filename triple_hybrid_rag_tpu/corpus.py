@@ -133,6 +133,30 @@ class CorpusStore:
         replacing rag2_expand_to_parents SQL RPC, 20260114_rag2_schema.sql:499)."""
         return [self._parent_row[c.parent_id] for c in self.children]
 
+    # ------------------------------------------------------------------
+    # collections (multi-tenancy: the org/collection scoping the reference enforces
+    # with RLS policies + org_id filters, 20260114_rag2_schema.sql:288-317)
+    # ------------------------------------------------------------------
+
+    def collection_names(self) -> List[str]:
+        """Stable collection registry (order of first appearance)."""
+        seen: Dict[str, None] = {}
+        for doc in self.documents.values():
+            seen.setdefault(doc.collection)
+        return list(seen)
+
+    def collection_ids(self) -> Dict[str, int]:
+        return {name: i for i, name in enumerate(self.collection_names())}
+
+    def child_collection_rows(self) -> List[int]:
+        """child row -> collection id (device filter table; -1 when doc unknown)."""
+        ids = self.collection_ids()
+        out = []
+        for c in self.children:
+            doc = self.documents.get(c.doc_id)
+            out.append(ids.get(doc.collection, -1) if doc else -1)
+        return out
+
     def child_texts(self) -> List[str]:
         return [c.text for c in self.children]
 

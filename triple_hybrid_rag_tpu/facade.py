@@ -65,7 +65,9 @@ class RAG:
 
     def query(self, query: str, top_k: Optional[int] = None, **kwargs) -> RetrievalResult:
         retriever = self.retriever
-        if self.use_sharded_engine:
+        # collection-scoped queries run the staged path (per-query row filters);
+        # the batched engine serves per-tenant batches instead
+        if self.use_sharded_engine and not kwargs.get("collection"):
             return self._get_engine().retrieve(query, top_k=top_k)
         return retriever.retrieve(query, top_k=top_k, **kwargs)
 

@@ -101,19 +101,27 @@ class BM25Index:
         raise ValueError(f"unknown lexical backend {backend!r}")
 
     def search(
-        self, keywords: Sequence[str], top_k: Optional[int] = None
+        self,
+        keywords: Sequence[str],
+        top_k: Optional[int] = None,
+        row_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Full lexical channel: keywords -> (ids i32[k], scores f32[k]).
 
-        Replaces the ``rag2_lexical_search`` SQL RPC
-        (20260114_rag2_schema.sql:341-374)."""
+        Replaces the ``rag2_lexical_search`` SQL RPC (20260114_rag2_schema.sql:341-374);
+        ``row_mask`` is the org/collection scoping the reference enforces with RLS."""
         k = top_k or self.config.lexical_top_k
         qt = jnp.asarray(self.encode_query(keywords))
         if self.config.lexical_backend == "sorted":
-            return self.search_sorted(qt, k)
-        return masked_top_k(self.score(qt), k)
+            return self.search_sorted(qt, k, row_mask)
+        return masked_top_k(self.score(qt), k, valid=row_mask)
 
-    def search_sorted(self, query_terms: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array]:
+    def search_sorted(
+        self,
+        query_terms: jax.Array,
+        top_k: int,
+        row_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
         """Sort-based sparse top-k (O(matched postings), no dense score vector) —
         the scatter-free TPU path for large corpora; see ops.bm25.score_postings_topk."""
         if self.postings_weight is not None:
@@ -121,14 +129,15 @@ class BM25Index:
 
             return score_postings_topk_pre(
                 self.offsets, self.lengths, self.postings_doc, self.postings_weight,
-                query_terms, l_max=self.l_max, n_pad=self.n_pad, top_k=top_k,
+                query_terms, row_mask,
+                l_max=self.l_max, n_pad=self.n_pad, top_k=top_k,
             )
         from ..ops.bm25 import score_postings_topk
 
         return score_postings_topk(
             self.offsets, self.lengths, self.postings_doc, self.postings_tf,
             self.contrib_denom_k1, self.idf,
-            jnp.float32(self.config.bm25_k1 + 1.0), query_terms,
+            jnp.float32(self.config.bm25_k1 + 1.0), query_terms, row_mask,
             l_max=self.l_max, n_pad=self.n_pad, top_k=top_k,
         )
 

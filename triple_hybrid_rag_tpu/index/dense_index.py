@@ -81,7 +81,10 @@ class DenseIndex:
         )
 
     def search(
-        self, query_vec: np.ndarray | jax.Array, top_k: Optional[int] = None
+        self,
+        query_vec: np.ndarray | jax.Array,
+        top_k: Optional[int] = None,
+        row_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Semantic channel: query embedding -> (ids i32[k], scores f32[k]).
 
@@ -91,7 +94,8 @@ class DenseIndex:
         k = top_k or self.config.semantic_top_k
         q = jnp.asarray(query_vec)
         scores = self.score(q)
-        return masked_top_k(scores, k, valid=self.valid, invalid_score_floor=-2.0)
+        valid = self.valid if row_mask is None else self.valid & row_mask
+        return masked_top_k(scores, k, valid=valid, invalid_score_floor=-2.0)
 
 
 @jax.jit

@@ -137,7 +137,9 @@ class GraphIndex:
             seeds.extend(self.entity_lookup(kw)[:3])
         return self._search_seeds(seeds, top_k)
 
-    def search_plan(self, plan: QueryPlan) -> Tuple[jax.Array, jax.Array]:
+    def search_plan(
+        self, plan: QueryPlan, row_mask: Optional[jax.Array] = None
+    ) -> Tuple[jax.Array, jax.Array]:
         """Channel entry point: seeds from plan entities, else keywords."""
         seeds: List[Entity] = []
         for name in plan.graph_entities:
@@ -145,10 +147,13 @@ class GraphIndex:
         if not seeds:
             for kw in plan.keywords:
                 seeds.extend(self.entity_lookup(kw)[:2])
-        return self._search_seeds(seeds, plan.graph_top_k)
+        return self._search_seeds(seeds, plan.graph_top_k, row_mask)
 
     def _search_seeds(
-        self, seeds: Sequence[Entity], top_k: Optional[int]
+        self,
+        seeds: Sequence[Entity],
+        top_k: Optional[int],
+        row_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         k = top_k or self.config.graph_top_k
         if not seeds:
@@ -159,7 +164,81 @@ class GraphIndex:
         scores = khop_chunk_scores(
             self.nbr, self.chunk_entities, self._seed_vector(seeds), hops=self.config.graph_hops
         )
-        return masked_top_k(scores, k)
+        return masked_top_k(scores, k, valid=row_mask)
+
+    def execute_query(self, query: dict) -> dict:
+        """Structured graph-query executor: the planner-generated-Cypher analogue.
+
+        The reference's LLM planner emits Cypher executed by PuppyGraph
+        (``execute_query_plan_cypher``, puppygraph.py:400; ``query_cypher``,
+        puppygraph.py:108). Here the query language is a structured JSON op — an LLM
+        planner can emit it just as easily, and it executes on the device graph:
+
+            {"op": "neighborhood", "entity": str, "hops"?: int, "limit"?: int}
+            {"op": "lookup",       "entity": str}
+            {"op": "related",     "entity": str, "limit"?: int}
+            {"op": "path",        "from": str, "to": str, "max_hops"?: int}
+            {"op": "keywords",    "keywords": [str], "limit"?: int}
+
+        Returns {"op", "nodes", "edges"?, "chunk_rows", "chunk_scores"} mirroring the
+        reference GraphSearcher result shape (nodes/edges/paths/chunk_ids,
+        rag2/graph_search.py:290)."""
+        op = str(query.get("op", ""))
+        if op == "lookup":
+            ents = self.entity_lookup(str(query.get("entity", "")))
+            return {
+                "op": op,
+                "nodes": [
+                    {"name": e.canonical_name, "type": e.entity_type.value} for e in ents
+                ],
+                "chunk_rows": [], "chunk_scores": [],
+            }
+        if op == "related":
+            ents = self.related_entities(
+                str(query.get("entity", "")), int(query.get("limit", 20))
+            )
+            return {
+                "op": op,
+                "nodes": [
+                    {"name": e.canonical_name, "type": e.entity_type.value} for e in ents
+                ],
+                "chunk_rows": [], "chunk_scores": [],
+            }
+        if op == "path":
+            path = self.relation_path(
+                str(query.get("from", "")), str(query.get("to", "")),
+                int(query.get("max_hops", 4)),
+            )
+            return {
+                "op": op,
+                "nodes": [
+                    {"name": e.canonical_name, "type": e.entity_type.value}
+                    for e in (path or [])
+                ],
+                "found": path is not None,
+                "chunk_rows": [], "chunk_scores": [],
+            }
+        if op in ("neighborhood", "keywords"):
+            if op == "neighborhood":
+                ids, scores = self.entity_neighborhood(
+                    str(query.get("entity", "")),
+                    hops=int(query.get("hops", self.config.graph_hops)),
+                    limit=int(query.get("limit", self.config.graph_top_k)),
+                )
+            else:
+                ids, scores = self.search_by_keywords_graph(
+                    [str(k) for k in query.get("keywords", [])],
+                    top_k=int(query.get("limit", self.config.graph_top_k)),
+                )
+            ids_np, scores_np = np.asarray(ids), np.asarray(scores)
+            keep = ids_np >= 0
+            return {
+                "op": op,
+                "nodes": [],
+                "chunk_rows": ids_np[keep].tolist(),
+                "chunk_scores": scores_np[keep].tolist(),
+            }
+        raise ValueError(f"unknown graph op {op!r}")
 
     def entity_distances(self, entity_name: str, hops: int = 2) -> Dict[str, float]:
         """Debug/observability helper: entity name -> hop distance map."""

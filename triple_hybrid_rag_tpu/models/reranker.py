@@ -68,19 +68,57 @@ class DotReranker:
         return jnp.where(ids >= 0, (cos + 1.0) * 0.5, 0.0)
 
 
+class CallableReranker:
+    """Host-callable cross-encoder adapter with the reference's chat-scoring fallback
+    semantics (reranker.py:154-285): ``fn(query, texts) -> [0,1] scores``; any failure
+    degrades to the inner reranker (native /rerank -> chat -> original-order ladder).
+
+    ``texts_of`` resolves candidate parent rows to their texts (host lookup — an LLM
+    reranker is a host boundary by nature, exactly like the reference's vLLM call)."""
+
+    def __init__(self, fn, texts_of, fallback: Reranker, config: Optional[RAGConfig] = None):
+        self.fn = fn
+        self.texts_of = texts_of
+        self.fallback = fallback
+        self.config = config or get_settings()
+
+    def score(self, query_ctx: dict, ids: jax.Array, fused_scores: jax.Array) -> jax.Array:
+        import numpy as np
+
+        ids_np = np.asarray(ids)
+        query = query_ctx.get("query_text", "")
+        try:
+            texts = [self.texts_of(int(i)) if i >= 0 else "" for i in ids_np]
+            raw = self.fn(query, texts)
+            scores = np.asarray(raw, dtype=np.float32)
+            if scores.shape != ids_np.shape:
+                raise ValueError("reranker returned wrong shape")
+            scores = np.where(ids_np >= 0, np.clip(scores, 0.0, 1.0), 0.0)
+            return jnp.asarray(scores)
+        except Exception:
+            return self.fallback.score(query_ctx, ids, fused_scores)
+
+
 def get_reranker(
     config: Optional[RAGConfig] = None,
     parent_embeddings: Optional[jax.Array] = None,
     maxsim_index=None,
+    llm_fn=None,
+    texts_of=None,
 ) -> Reranker:
     """Factory with the reference's fallback ladder (reranker.py:768 get_reranker):
-    maxsim -> dot -> noop, degrading on missing prerequisites."""
+    llm -> maxsim -> dot -> noop, degrading on missing prerequisites."""
     config = config or get_settings()
     backend = config.rerank_backend if config.rerank_enabled else "none"
+    inner: Reranker
     if backend == "maxsim" and maxsim_index is not None:
         from .maxsim_reranker import MaxSimReranker
 
-        return MaxSimReranker(maxsim_index, config)
-    if backend in ("maxsim", "dot") and parent_embeddings is not None:
-        return DotReranker(parent_embeddings, config)
-    return NoopReranker(config)
+        inner = MaxSimReranker(maxsim_index, config)
+    elif backend in ("maxsim", "dot") and parent_embeddings is not None:
+        inner = DotReranker(parent_embeddings, config)
+    else:
+        inner = NoopReranker(config)
+    if llm_fn is not None and texts_of is not None:
+        return CallableReranker(llm_fn, texts_of, inner, config)
+    return inner

@@ -30,7 +30,7 @@ capacity, and invalid documents simply score 0.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +122,7 @@ def score_postings_topk(
     idf: jax.Array,  # f32[V]
     k1_plus1: jax.Array,  # f32[]
     query_terms: jax.Array,  # i32[Q]
+    row_mask: Optional[jax.Array] = None,  # bool[n_pad] row filter (collection scoping)
     *,
     l_max: int,
     n_pad: int,
@@ -175,7 +176,7 @@ def score_postings_topk(
         return docs, slots, contrib
 
     docs, slots, contribs = jax.vmap(gather_term)(jnp.arange(q_slots))
-    return _sparse_topk_from_windows(docs, slots, contribs, q_slots, n_pad, top_k)
+    return _sparse_topk_from_windows(docs, slots, contribs, q_slots, n_pad, top_k, row_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("l_max", "n_pad", "top_k"))
@@ -185,6 +186,7 @@ def score_postings_topk_pre(
     postings_doc: jax.Array,  # i32[nnz_pad]
     postings_weight: jax.Array,  # f32[nnz_pad] PRECOMPUTED BM25 contribution per posting
     query_terms: jax.Array,  # i32[Q]
+    row_mask: Optional[jax.Array] = None,  # bool[n_pad] row filter (collection scoping)
     *,
     l_max: int,
     n_pad: int,
@@ -216,10 +218,13 @@ def score_postings_topk_pre(
         return docs, slots, contrib
 
     docs, slots, contribs = jax.vmap(gather_term)(jnp.arange(q_slots))
-    return _sparse_topk_from_windows(docs, slots, contribs, q_slots, n_pad, top_k)
+    return _sparse_topk_from_windows(docs, slots, contribs, q_slots, n_pad, top_k, row_mask)
 
 
-def _sparse_topk_from_windows(docs, slots, contribs, q_slots: int, n_pad: int, top_k: int):
+def _sparse_topk_from_windows(
+    docs, slots, contribs, q_slots: int, n_pad: int, top_k: int,
+    row_mask: Optional[jax.Array] = None,
+):
     """Shared tail: 2-key sort, segmented doubling reduction, top-k over run starts."""
     flat_docs = docs.reshape(-1)
     flat_slots = slots.reshape(-1)
@@ -247,7 +252,10 @@ def _sparse_topk_from_windows(docs, slots, contribs, q_slots: int, n_pad: int, t
     prev_docs = jnp.concatenate([jnp.full((1,), -9, jnp.int32), sorted_docs[:-1]])
     is_start = sorted_docs != prev_docs  # acc at run starts = full run total
 
-    score_at_start = jnp.where(is_start & (sorted_docs < n_pad), acc, -jnp.inf)
+    ok_row = is_start & (sorted_docs < n_pad)
+    if row_mask is not None:
+        ok_row = ok_row & row_mask[jnp.clip(sorted_docs, 0, n_pad - 1)]
+    score_at_start = jnp.where(ok_row, acc, -jnp.inf)
     vals, pos = jax.lax.top_k(score_at_start, min(top_k, p))
     ids = sorted_docs[pos]
     ok = vals > -jnp.inf

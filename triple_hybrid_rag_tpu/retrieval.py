@@ -99,6 +99,7 @@ class Retriever:
         if rows:
             parent_of[: len(rows)] = rows
         self.parent_of = jnp.asarray(parent_of)
+        self._init_collections(n_pad)
 
         # parent embeddings for the dot-rerank rung (mean of child embeddings)
         parent_emb = None
@@ -158,6 +159,7 @@ class Retriever:
             if rows:
                 po[: len(rows)] = rows
             self.parent_of = jnp.asarray(po)
+        self._init_collections(self.parent_of.shape[0])
         parent_emb = None
         if config.rerank_enabled and dense_index is not None and len(corpus):
             parent_emb = self._build_parent_embeddings()
@@ -187,11 +189,12 @@ class Retriever:
         plan = self.planner.plan(query, collection)
         timings["planning_ms"] = (time.perf_counter() - t0) * 1e3
 
-        # 2. channels
+        # 2. channels (optionally collection-scoped, the reference's org_id filter)
         t0 = time.perf_counter()
-        lex_ids, lex_scores = self._lexical_search(plan)
-        sem_ids, sem_scores, query_vec = self._semantic_search(plan)
-        gr_ids, gr_scores = self._graph_search(plan)
+        row_mask = self._collection_mask(collection)
+        lex_ids, lex_scores = self._lexical_search(plan, row_mask)
+        sem_ids, sem_scores, query_vec = self._semantic_search(plan, row_mask)
+        gr_ids, gr_scores = self._graph_search(plan, row_mask)
         channel_counts = {
             "lexical": int(np.sum(np.asarray(lex_ids) >= 0)),
             "semantic": int(np.sum(np.asarray(sem_ids) >= 0)),
@@ -226,7 +229,7 @@ class Retriever:
         # 5. rerank
         t0 = time.perf_counter()
         if cfg.rerank_enabled:
-            qctx: Dict[str, object] = {}
+            qctx: Dict[str, object] = {"query_text": query}
             if query_vec is not None:
                 qctx["query_vec"] = query_vec
             if self.maxsim_index is not None:
@@ -309,29 +312,33 @@ class Retriever:
             jnp.zeros((_EMPTY_CHANNEL_K,), jnp.float32),
         )
 
-    def _lexical_search(self, plan: QueryPlan) -> Tuple[jax.Array, jax.Array]:
+    def _lexical_search(
+        self, plan: QueryPlan, row_mask: Optional[jax.Array] = None
+    ) -> Tuple[jax.Array, jax.Array]:
         if not self.config.lexical_enabled or self.bm25_index is None or not plan.keywords:
             return self._empty_channel()
-        return self.bm25_index.search(plan.keywords, plan.lexical_top_k)
+        return self.bm25_index.search(plan.keywords, plan.lexical_top_k, row_mask)
 
-    def _semantic_search(self, plan: QueryPlan):
+    def _semantic_search(self, plan: QueryPlan, row_mask: Optional[jax.Array] = None):
         if not self.config.semantic_enabled or self.dense_index is None:
             ids, scores = self._empty_channel()
             return ids, scores, None
         raw = self.embedder.embed_query(plan.semantic_query_text or plan.original_query)
         qv = truncate_matryoshka(raw[None], self.config.embedding_dim)[0]
         qv = jnp.asarray(qv)
-        ids, scores = self.dense_index.search(qv, plan.semantic_top_k)
+        ids, scores = self.dense_index.search(qv, plan.semantic_top_k, row_mask)
         return ids, scores, qv
 
-    def _graph_search(self, plan: QueryPlan) -> Tuple[jax.Array, jax.Array]:
+    def _graph_search(
+        self, plan: QueryPlan, row_mask: Optional[jax.Array] = None
+    ) -> Tuple[jax.Array, jax.Array]:
         if (
             not self.config.graph_enabled
             or self.graph_index is None
             or not plan.requires_graph
         ):
             return self._empty_channel()
-        return self.graph_index.search_plan(plan)
+        return self.graph_index.search_plan(plan, row_mask)
 
     def _expand_to_parents(self, child_rows: jax.Array) -> jax.Array:
         safe = jnp.clip(child_rows, 0, self.parent_of.shape[0] - 1)
@@ -340,6 +347,23 @@ class Retriever:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _init_collections(self, n_pad: int) -> None:
+        """Device collection-id table (the RLS/org-scoping analogue: row filters)."""
+        self.collection_ids = self.corpus.collection_ids()
+        coll = np.full((n_pad,), -1, np.int32)
+        rows = self.corpus.child_collection_rows()
+        if rows:
+            coll[: len(rows)] = rows
+        self.collection_of = jnp.asarray(coll)
+
+    def _collection_mask(self, collection: Optional[str]) -> Optional[jax.Array]:
+        """bool[n_pad] row filter for a collection; None = unscoped. Unknown collection
+        -> all-False (the reference returns zero rows for a foreign org)."""
+        if collection is None:
+            return None
+        cid = self.collection_ids.get(collection, -2)
+        return self.collection_of == cid
 
     def _query_token_ctx(self, plan: QueryPlan) -> Dict[str, jax.Array]:
         """Token-level query embeddings for MaxSim (same embedder as the index build)."""

@@ -100,10 +100,11 @@ class RAGServer:
         if not isinstance(query, str) or not query.strip():
             raise ValueError("missing 'query'")
         top_k = payload.get("top_k")
+        collection = payload.get("collection")
         qid = f"q{int(time.time() * 1e6):x}"
         tracer.query_begin(qid, query)
         with self._lock, rag_metrics.time("server_query_ms"):
-            result = self.rag.query(query, top_k=top_k)
+            result = self.rag.query(query, top_k=top_k, collection=collection)
         rag_metrics.counter("server_queries_total").inc()
         if result.refused:
             rag_metrics.counter("server_refusals_total").inc()

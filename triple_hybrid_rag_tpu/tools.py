@@ -74,7 +74,7 @@ def make_knowledge_tools(rag: RAG) -> ToolRegistry:
     ) -> Dict[str, Any]:
         """The reference's flagship tool (crm_knowledge.py:25-58): returns answerable
         context chunks with channel provenance and timings, or a refusal."""
-        result = rag.query(query, top_k=top_k)
+        result = rag.query(query, top_k=top_k, collection=collection)
         if result.refused:
             return {
                 "success": False,
