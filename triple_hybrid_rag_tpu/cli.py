@@ -137,6 +137,20 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval(args: argparse.Namespace) -> int:
+    """Quality ladder over the five BASELINE configs (run_harness.py analogue)."""
+    from .eval import evaluate_baseline_configs
+
+    results = evaluate_baseline_configs(k=args.k)
+    if args.json:
+        print(json.dumps(results))
+        return 0
+    for name, m in results.items():
+        print(f"{name}: recall@{args.k}={m[f'recall@{args.k}']:.3f} "
+              f"ndcg@{args.k}={m[f'ndcg@{args.k}']:.3f} mrr={m['mrr']:.3f}")
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from .server import serve
 
@@ -176,6 +190,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="run the benchmark")
     p.add_argument("--n", type=int, default=None, help="corpus size")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("eval", help="retrieval-quality ladder (recall@k / NDCG@k)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("serve", help="HTTP serving host (/query /ingest /metrics)")
     p.add_argument("--host", default="127.0.0.1")
