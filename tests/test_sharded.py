@@ -122,6 +122,28 @@ def test_sharded_arrays_actually_sharded(cfg):
     assert shard_shapes == {(eng.n_pad // 8, eng.embeddings.shape[1])}
 
 
+def test_data_parallel_batch_matches_shard_only(cfg):
+    """data=2 x shard=4 mesh: batch splits over replicas, results identical to 1x8."""
+    corpus, _ = build_fixture(cfg, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    ret = Retriever(corpus, c)
+    eng_dp = ShardedEngine(ret, corpus_mesh(n_shards=4, data_parallel=2))
+    eng_1 = ShardedEngine(ret, corpus_mesh(n_shards=8))
+    queries = ["invoice payment settlement", "contract termination notice",
+               "password reset security", "fox forest habitat"]
+    r_dp = eng_dp.retrieve_batch(queries)
+    r_1 = eng_1.retrieve_batch(queries)
+    for a, b in zip(r_dp, r_1):
+        assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
+        np.testing.assert_allclose(
+            [x.final_score for x in a.results], [x.final_score for x in b.results],
+            rtol=1e-5,
+        )
+    # odd batch pads to the data axis and still returns exactly n results
+    r_odd = eng_dp.retrieve_batch(queries[:3])
+    assert len(r_odd) == 3
+
+
 def test_sharded_timing_fields(cfg):
     corpus, _ = build_fixture(cfg, n_docs=4, with_graph=False)
     c = cfg.replace(graph_enabled=False)

@@ -232,6 +232,10 @@ class ShardedEngine:
     def _build_program(self, batch: int):
         cfg = self.config
         mesh = self.mesh
+        dp = int(mesh.shape.get("data", 1))
+        if batch % dp:
+            raise ValueError(f"batch {batch} must divide the data axis ({dp})")
+        batch = batch // dp  # per-replica batch inside the shard_map body
         k_lex, k_sem, k_graph = cfg.lexical_top_k, cfg.semantic_top_k, cfg.graph_top_k
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
@@ -345,6 +349,13 @@ class ShardedEngine:
             )
 
         shard2, rep = P("shard", None), P()
+        # query-batch data parallelism: when the mesh has a data axis, the batch dim of
+        # every query arg/output splits over it — each replica group serves its slice
+        # of the batch against a full corpus replica (near-linear QPS scaling)
+        if dp > 1:
+            qd1, qd2, qd3 = P("data"), P("data", None), P("data", None, None)
+        else:
+            qd1 = qd2 = qd3 = rep
         smapped = jax.shard_map(
             program,
             mesh=mesh,
@@ -352,10 +363,10 @@ class ShardedEngine:
                 shard2, shard2, shard2, shard2,
                 shard2, shard2, shard2, P("shard"), rep, shard2,
                 rep, rep, rep, rep,
-                rep, rep, rep, rep, rep, rep, rep, rep, rep,
+                qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1,
             ),
-            out_specs=(rep, rep, rep, rep,
-                       FusedCandidates(rep, rep, rep, rep, rep, rep), rep),
+            out_specs=(qd2, qd2, qd1, qd1,
+                       FusedCandidates(qd2, qd2, qd2, qd2, qd2, qd2), qd2),
             check_vma=False,
         )
         return jax.jit(smapped)
@@ -451,11 +462,18 @@ class ShardedEngine:
     def retrieve_batch(
         self, queries: Sequence[str], top_k: Optional[int] = None
     ) -> List[RetrievalResult]:
-        """Batched one-dispatch retrieval with host decode."""
+        """Batched one-dispatch retrieval with host decode. The batch pads up to a
+        multiple of the mesh's data axis (each replica group serves an equal slice)."""
         from ..retrieval import decode_results
 
+        n_real = len(queries)
+        dp = int(self.mesh.shape.get("data", 1))
+        padded = list(queries)
+        while len(padded) % dp:
+            padded.append(queries[0])
         t0 = time.perf_counter()
-        plans, (ids, scores, refused, max_score, fused, rerank) = self.search_arrays(queries)
+        plans, (ids, scores, refused, max_score, fused, rerank) = self.search_arrays(padded)
+        queries, plans = queries[:n_real], plans[:n_real]
         jax.block_until_ready(ids)
         dispatch_ms = (time.perf_counter() - t0) * 1e3
 
