@@ -193,10 +193,18 @@ class ShardedEngine:
             self.embeddings = shard_rows(dx.embeddings, 2)
             self.valid = shard_rows(dx.valid)
             self.dim = dx.dim
+            self._use_int8 = dx.scales is not None
+            self.dense_scales = (
+                shard_rows(dx.scales)
+                if dx.scales is not None
+                else shard_rows(jnp.ones((n_pad,), jnp.float32))
+            )
         else:
             self.embeddings = shard_rows(jnp.zeros((n_pad, 8), jnp.bfloat16), 2)
             self.valid = shard_rows(jnp.zeros((n_pad,), bool))
             self.dim = 8
+            self._use_int8 = False
+            self.dense_scales = shard_rows(jnp.ones((n_pad,), jnp.float32))
         # ---- graph ----
         if gx is not None:
             self.nbr = repl(gx.nbr)
@@ -239,6 +247,7 @@ class ShardedEngine:
         k_lex, k_sem, k_graph = cfg.lexical_top_k, cfg.semantic_top_k, cfg.graph_top_k
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
+        use_int8 = use_sem and self._use_int8
         use_maxsim = cfg.rerank_enabled and self.maxsim_tokens is not None
         use_dot = cfg.rerank_enabled and not use_maxsim and self.parent_emb is not None
         lex_mode = self.lexical_mode
@@ -258,7 +267,7 @@ class ShardedEngine:
 
         def program(
             lex_offsets, lex_lengths, lex_pd, lex_pt,
-            term_ids, term_weights, embeddings, valid, nbr, chunk_entities,
+            term_ids, term_weights, embeddings, dense_scales, valid, nbr, chunk_entities,
             parent_of, parent_emb, mx_tokens, mx_mask,
             q_terms, q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
             graph_on,
@@ -287,11 +296,16 @@ class ShardedEngine:
                 lex_scores = jnp.zeros((batch, 1), jnp.float32)
 
             # ---- dense (one batched MXU matmul) ----
-            if use_sem:
+            if use_int8:
+                from ..index.dense_index import dense_scores_int8_batch
+
+                scores = dense_scores_int8_batch(embeddings, dense_scales, q_vec)
+            elif use_sem:
                 scores = jnp.dot(
                     q_vec.astype(embeddings.dtype), embeddings.T,
                     preferred_element_type=jnp.float32,
                 )  # [B, n_loc]
+            if use_sem:
                 d_ids, d_vals = jax.vmap(
                     lambda sc: masked_top_k(sc, k_sem, valid=valid, invalid_score_floor=-2.0)
                 )(scores)
@@ -361,7 +375,7 @@ class ShardedEngine:
             mesh=mesh,
             in_specs=(
                 shard2, shard2, shard2, shard2,
-                shard2, shard2, shard2, P("shard"), rep, shard2,
+                shard2, shard2, shard2, P("shard"), P("shard"), rep, shard2,
                 rep, rep, rep, rep,
                 qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1,
             ),
@@ -380,7 +394,9 @@ class ShardedEngine:
         zero_mask = jnp.zeros((1, 1), bool)
         return (
             self.lex_offsets, self.lex_lengths, self.lex_pd, self.lex_pt,
-            self.term_ids, self.term_weights, self.embeddings, self.valid,
+            self.term_ids, self.term_weights, self.embeddings,
+            self.dense_scales,
+            self.valid,
             self.nbr, self.chunk_entities, self.parent_of,
             self.parent_emb if self.parent_emb is not None else zero2,
             self.maxsim_tokens if self.maxsim_tokens is not None else zero2[:, :, None],
