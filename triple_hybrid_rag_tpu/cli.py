@@ -29,13 +29,18 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 def cmd_ingest(args: argparse.Namespace) -> int:
     from .facade import RAG
 
-    index_dir = Path(args.index)
+    index_dir = Path(args.index).resolve()
     rag = RAG.load(index_dir) if (index_dir / "manifest.json").exists() else RAG()
     results = []
     for target in args.paths:
         t = Path(target)
         if t.is_dir():
-            results.extend(rag.ingest_directory(t, force=args.force))
+            # never re-ingest the index's own checkpoint artifacts
+            files = [
+                p for p in sorted(t.rglob("*"))
+                if p.is_file() and index_dir not in p.resolve().parents
+            ]
+            results.extend(rag.ingest(p, force=args.force) for p in files)
         else:
             results.append(rag.ingest(t, force=args.force))
     rag.save(index_dir)

@@ -121,6 +121,14 @@ class DocumentLoader:
 
     def _load_text(self, path: Path, data: bytes, ftype: FileType) -> LoadedDocument:
         text = data.decode("utf-8", errors="replace")
+        if ftype == FileType.UNKNOWN and text:
+            # binary sniff: refuse to ingest non-text bytes as garbage "documents"
+            sample = text[:4096]
+            bad = sum(1 for c in sample if c == "�" or (ord(c) < 32 and c not in "\n\r\t"))
+            if bad / max(len(sample), 1) > 0.05:
+                raise UnsupportedFormatError(
+                    f"{path.name} looks binary (unknown format); refusing to ingest as text"
+                )
         pages = [
             PageContent(page_number=i + 1, text=t)
             for i, t in enumerate(self._paginate(text))
