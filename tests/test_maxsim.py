@@ -11,7 +11,7 @@ from triple_hybrid_rag_tpu.ops.maxsim import maxsim_scores
 
 
 def numpy_maxsim_oracle(doc_tokens, doc_mask, q_tokens, q_mask):
-    """Independent implementation: mean over query tokens of max over doc tokens."""
+    """Independent implementation: mean over query tokens of clamp(max over doc tokens)."""
     K = doc_tokens.shape[0]
     out = np.zeros(K)
     qs = [q_tokens[j] for j in range(len(q_mask)) if q_mask[j]]
@@ -22,9 +22,8 @@ def numpy_maxsim_oracle(doc_tokens, doc_mask, q_tokens, q_mask):
             continue
         total = 0.0
         for q in qs:
-            total += max(float(q @ d) for d in ds)
-        mean = total / len(qs)
-        out[k] = (mean + 1.0) * 0.5
+            total += max(0.0, max(float(q @ d) for d in ds))
+        out[k] = total / len(qs)
     return out
 
 

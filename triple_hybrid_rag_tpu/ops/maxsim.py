@@ -6,10 +6,13 @@ pointwise yes/no cross-encoder over chat logprobs
 ``retrieval/reranker.py:154-285``; SURVEY.md §5.7). Here it is implemented for real:
 token-level embeddings are stored per parent chunk, and the rerank score is
 
-    score(q, d) = mean over query tokens of ( max over doc tokens of cos(q_i, d_j) )
+    score(q, d) = mean over query tokens of max(0, max over doc tokens of cos(q_i, d_j))
 
-rescaled from [-1, 1] to [0, 1] so the downstream safety threshold (0.6, tuned for [0, 1]
-cross-encoder scores) keeps its meaning. Mean (not ColBERT's sum) keeps scores
+The per-query-token max-cosine is clamped at 0 before averaging so the score lands in
+[0, 1] with a meaningful floor: token matches push toward 1, while a document sharing
+*nothing* with the query scores near 0 (random unit-vector cosines hover around 0), so
+the downstream 0.6 safety threshold separates relevant from garbage the way the
+reference's cross-encoder scores do. Mean (not ColBERT's sum) keeps scores
 length-invariant across queries.
 
 Shapes are rerank-stage small — K <= 50 candidates x T_doc x T_query x D — so one fused
@@ -43,11 +46,10 @@ def maxsim_scores(
     sim = jnp.where(doc_mask[:, :, None], sim, -jnp.inf)
     per_q = jnp.max(sim, axis=1)  # [K, Tq] best doc token per query token
     has_doc = doc_mask.any(axis=1)  # [K]
-    per_q = jnp.where(has_doc[:, None], per_q, -1.0)
+    per_q = jnp.where(has_doc[:, None], jnp.maximum(per_q, 0.0), 0.0)
     qm = q_mask.astype(jnp.float32)
     n_q = jnp.maximum(qm.sum(), 1.0)
-    mean_max = (per_q * qm[None, :]).sum(axis=1) / n_q  # [-1, 1]
-    score01 = (mean_max + 1.0) * 0.5
+    score01 = (per_q * qm[None, :]).sum(axis=1) / n_q  # [0, 1]
     return jnp.where(valid & has_doc, score01, 0.0)
 
 

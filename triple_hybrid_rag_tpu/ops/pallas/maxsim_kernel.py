@@ -81,12 +81,11 @@ def maxsim_scores_pallas(
         q_tokens.astype(jnp.float32),
     )
 
-    # trailing reduction in XLA (tiny): masked mean over query tokens, validity gates
+    # trailing reduction in XLA (tiny): clamped masked mean over query tokens
     per_q = runmax.reshape(k, tq)  # [K, Tq]
     has_doc = jnp.isfinite(per_q).any(axis=1)
-    per_q = jnp.where(jnp.isfinite(per_q), per_q, -1.0)
+    per_q = jnp.where(jnp.isfinite(per_q), jnp.maximum(per_q, 0.0), 0.0)
     qm = q_mask.astype(jnp.float32)
     n_q = jnp.maximum(qm.sum(), 1.0)
-    mean_max = (per_q * qm[None, :]).sum(axis=1) / n_q
-    score01 = (mean_max + 1.0) * 0.5
+    score01 = (per_q * qm[None, :]).sum(axis=1) / n_q
     return jnp.where(valid & has_doc, score01, 0.0)
