@@ -174,10 +174,31 @@ def main():
     ).astype(np.float32)
     q_tok_mask = np.ones((n_rows, cfg.maxsim_query_tokens), bool)
 
+    # df-tier split for the tiered lexical path (host prep, same as prepare_queries)
+    stored_df_h = stored_df = np.asarray(bm25.host_csr[1])
+    qs_terms = np.full((n_rows, cfg.max_query_terms), -1, np.int32)
+    qs_slots = np.zeros((n_rows, cfg.max_query_terms), np.int32)
+    ql_terms = np.full((n_rows, cfg.bm25_large_slots), -1, np.int32)
+    ql_slots = np.zeros((n_rows, cfg.bm25_large_slots), np.int32)
+    for i in range(n_rows):
+        small, large = [], []
+        for slot, t in enumerate(q_terms[i]):
+            if t < 0:
+                continue
+            (small if stored_df_h[t] <= cfg.bm25_small_window else large).append((int(t), slot))
+        large.sort(key=lambda ts: stored_df_h[ts[0]])
+        for j, (t, s) in enumerate(small[: cfg.max_query_terms]):
+            qs_terms[i, j], qs_slots[i, j] = t, s
+        for j, (t, s) in enumerate(large[: cfg.bm25_large_slots]):
+            ql_terms[i, j], ql_slots[i, j] = t, s
+
     def make_args(idx):
         b = len(idx)
         return (
-            jax.device_put(q_terms[idx]), jax.device_put(q_vecs[idx]),
+            jax.device_put(q_terms[idx]),
+            jax.device_put(qs_terms[idx]), jax.device_put(qs_slots[idx]),
+            jax.device_put(ql_terms[idx]), jax.device_put(ql_slots[idx]),
+            jax.device_put(q_vecs[idx]),
             jax.device_put(q_toks[idx]), jax.device_put(q_tok_mask[idx]),
             jnp.zeros((b, engine.e_pad), bool),
             jnp.broadcast_to(

@@ -107,6 +107,10 @@ class RAGConfig:
     bm25_df_cap: int = 0  # 0 = uncapped; else truncate a term's postings to top-tf cap
     # (impact pruning: ultra-common terms carry near-zero idf; capping bounds the
     #  sorted-path postings window and device memory at 1M+ scale)
+    lexical_tiering: bool = True  # engine: rare terms use small gather windows
+    bm25_small_window: int = 128  # window for terms with stored df <= this
+    bm25_large_slots: int = 4  # query slots for high-df terms (overflow drops the
+    # most common ones — the least informative; typical queries have <= 2)
     topk_backend: str = "exact"  # "exact" | "approx" (jax.lax.approx_max_k on TPU)
 
     # ---- graph channel (TPU-native replacement for PuppyGraph) ----

@@ -76,6 +76,38 @@ class BM25Index:
         out[: len(ids)] = ids
         return out
 
+    def encode_query_tiered(self, keywords: Sequence[str]):
+        """Split encoded query terms into (small, large) df tiers for the tiered sorted
+        path. Returns (small_terms, small_slots, large_terms, large_slots) padded i32
+        arrays; slots are the ORIGINAL query positions (ulp-exact order parity).
+        Large-tier overflow drops the most common terms (least informative)."""
+        qt = self.encode_query(keywords)
+        if self.host_csr is not None:
+            stored_df = np.asarray(self.host_csr[1])
+        else:
+            stored_df = np.asarray(self.lengths)
+        qs_cap = self.config.max_query_terms
+        ql_cap = self.config.bm25_large_slots
+        small_w = self.config.bm25_small_window
+        small, large = [], []  # (term, slot)
+        for slot, t in enumerate(qt):
+            if t < 0:
+                continue
+            (small if stored_df[t] <= small_w else large).append((int(t), slot))
+        large.sort(key=lambda ts: stored_df[ts[0]])  # keep rarest; drop most common
+        large = large[:ql_cap]
+
+        def pad(pairs, cap):
+            terms = np.full((cap,), -1, np.int32)
+            slots = np.zeros((cap,), np.int32)
+            for i, (t, s) in enumerate(pairs[:cap]):
+                terms[i], slots[i] = t, s
+            return terms, slots
+
+        st, ss = pad(small, qs_cap)
+        lt, ls = pad(large, ql_cap)
+        return st, ss, lt, ls
+
     def score(self, query_terms: jax.Array, backend: Optional[str] = None) -> jax.Array:
         """Dense f32[n_pad] BM25 scores for one padded query-term vector."""
         backend = backend or self.config.lexical_backend

@@ -278,3 +278,62 @@ def bm25_denom_k1(
 ) -> jax.Array:
     """Per-document ``k1 * (1 - b + b * dl / avgdl)`` — the tf-saturation denominator."""
     return k1 * (1.0 - b + b * doc_lengths / jnp.maximum(avgdl, 1e-6))
+
+
+@functools.partial(jax.jit, static_argnames=("l_small", "l_max", "n_pad", "top_k"))
+def score_postings_topk_tiered(
+    offsets: jax.Array,  # i32[V + 1]
+    lengths: jax.Array,  # i32[V]
+    postings_doc: jax.Array,  # i32[nnz_pad]
+    postings_weight: jax.Array,  # f32[nnz_pad] precomputed impacts
+    small_terms: jax.Array,  # i32[Qs] term ids with stored df <= l_small (-1 pad)
+    small_slots: jax.Array,  # i32[Qs] ORIGINAL query slot index of each small term
+    large_terms: jax.Array,  # i32[Ql] high-df term ids (-1 pad)
+    large_slots: jax.Array,  # i32[Ql] original slot index of each large term
+    row_mask: Optional[jax.Array] = None,
+    *,
+    l_small: int,
+    l_max: int,
+    n_pad: int,
+    top_k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """df-tiered variant of :func:`score_postings_topk_pre`.
+
+    The sorted-path cost is the total gathered window width. A fixed ``l_max`` window
+    for every query slot wastes most of it on rare terms (df << l_max), so the host
+    splits query terms into a small tier (window ``l_small``) and a large tier (window
+    ``l_max``, few slots): P shrinks from ``Q * l_max`` to
+    ``Qs * l_small + Ql * l_max`` (~3-4x). Exact for every term admitted to a slot —
+    tiering changes window sizes, never which postings are read. Carrying the ORIGINAL
+    query-slot index as the sort's secondary key keeps the within-run summation order
+    (and therefore every ulp of every score) identical to the untiered op.
+    """
+
+    def gather(terms: jax.Array, slots: jax.Array, window: int):
+        positions = jnp.arange(window, dtype=jnp.int32)
+
+        def one(i: jax.Array):
+            t_raw = terms[i]
+            valid_t = t_raw >= 0
+            t = jnp.where(valid_t, t_raw, 0)
+            start = offsets[t]
+            df = lengths[t]
+            docs = jax.lax.dynamic_slice(postings_doc, (start,), (window,))
+            w = jax.lax.dynamic_slice(postings_weight, (start,), (window,))
+            valid = (positions < df) & valid_t
+            contrib = jnp.where(valid, w, 0.0)
+            docs = jnp.where(valid, docs, jnp.int32(n_pad))
+            slot = jnp.full((window,), slots[i], jnp.int32)
+            return docs, slot, contrib
+
+        return jax.vmap(one)(jnp.arange(terms.shape[0]))
+
+    ds, ss, cs = gather(small_terms, small_slots, min(l_small, l_max))
+    dl, sl, cl = gather(large_terms, large_slots, l_max)
+    docs = jnp.concatenate([ds.reshape(-1), dl.reshape(-1)])
+    slots = jnp.concatenate([ss.reshape(-1), sl.reshape(-1)])
+    contribs = jnp.concatenate([cs.reshape(-1), cl.reshape(-1)])
+    q_slots = int(small_terms.shape[0] + large_terms.shape[0])
+    return _sparse_topk_from_windows(
+        docs[None], slots[None], contribs[None], q_slots, n_pad, top_k, row_mask
+    )

@@ -39,7 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RAGConfig
-from ..ops.bm25 import score_postings_topk_pre, score_termtable
+from ..ops.bm25 import score_postings_topk_pre, score_postings_topk_tiered, score_termtable
 from ..ops.fusion import FusedCandidates, apply_safety_denoise, fuse_rrf, minmax_normalize
 from ..ops.graph import khop_entity_scores, chunk_scores_from_entities
 from ..ops.maxsim import maxsim_scores
@@ -248,6 +248,8 @@ class ShardedEngine:
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
+        use_tiering = cfg.lexical_tiering and self.lexical_mode == "sorted"
+        l_small = min(cfg.bm25_small_window, self.lex_l_max)
         use_maxsim = cfg.rerank_enabled and self.maxsim_tokens is not None
         use_dot = cfg.rerank_enabled and not use_maxsim and self.parent_emb is not None
         lex_mode = self.lexical_mode
@@ -269,7 +271,8 @@ class ShardedEngine:
             lex_offsets, lex_lengths, lex_pd, lex_pt,
             term_ids, term_weights, embeddings, dense_scales, valid, nbr, chunk_entities,
             parent_of, parent_emb, mx_tokens, mx_mask,
-            q_terms, q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
+            q_terms, qs_terms, qs_slots, ql_terms, ql_slots,
+            q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
             graph_on,
         ):
             # stacked shard arrays arrive as [1, ...]: drop the shard axis
@@ -277,7 +280,16 @@ class ShardedEngine:
             lex_pd, lex_pt = lex_pd[0], lex_pt[0]
 
             # ---- lexical ----
-            if lex_mode == "sorted":
+            if lex_mode == "sorted" and use_tiering:
+                def lex_one(st, ss, lt, ls):
+                    return score_postings_topk_tiered(
+                        lex_offsets, lex_lengths, lex_pd, lex_pt,
+                        st, ss, lt, ls,
+                        l_small=l_small, l_max=l_max, n_pad=n_loc, top_k=k_lex,
+                    )
+                l_ids, l_vals = jax.vmap(lex_one)(qs_terms, qs_slots, ql_terms, ql_slots)
+                lex_ids, lex_scores = merge(l_ids, l_vals, k_lex)
+            elif lex_mode == "sorted":
                 def lex_one(qt):
                     # lex_pt carries PRECOMPUTED per-posting BM25 contributions
                     return score_postings_topk_pre(
@@ -377,7 +389,7 @@ class ShardedEngine:
                 shard2, shard2, shard2, shard2,
                 shard2, shard2, shard2, P("shard"), P("shard"), rep, shard2,
                 rep, rep, rep, rep,
-                qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1,
+                qd2, qd2, qd2, qd2, qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1,
             ),
             out_specs=(qd2, qd2, qd1, qd1,
                        FusedCandidates(qd2, qd2, qd2, qd2, qd2, qd2), qd2),
@@ -411,9 +423,17 @@ class ShardedEngine:
         plans = [r.planner.plan(q) for q in queries]
 
         q_terms = np.full((b, cfg.max_query_terms), -1, np.int32)
+        qs_terms = np.full((b, cfg.max_query_terms), -1, np.int32)
+        qs_slots = np.zeros((b, cfg.max_query_terms), np.int32)
+        ql_terms = np.full((b, cfg.bm25_large_slots), -1, np.int32)
+        ql_slots = np.zeros((b, cfg.bm25_large_slots), np.int32)
         if r.bm25_index is not None:
             for i, plan in enumerate(plans):
                 q_terms[i] = r.bm25_index.encode_query(plan.keywords)
+                if cfg.lexical_tiering:
+                    st, ss, lt, ls = r.bm25_index.encode_query_tiered(plan.keywords)
+                    qs_terms[i], qs_slots[i] = st, ss
+                    ql_terms[i], ql_slots[i] = lt, ls
 
         q_vec = np.zeros((b, self.dim), np.float32)
         if r.dense_index is not None:
@@ -457,7 +477,10 @@ class ShardedEngine:
         ).astype(np.float32)
 
         args = (
-            jnp.asarray(q_terms), jnp.asarray(q_vec),
+            jnp.asarray(q_terms),
+            jnp.asarray(qs_terms), jnp.asarray(qs_slots),
+            jnp.asarray(ql_terms), jnp.asarray(ql_slots),
+            jnp.asarray(q_vec),
             jnp.asarray(q_tokens.astype(np.float32)), jnp.asarray(q_tok_mask),
             jnp.asarray(seeds), jnp.asarray(weights),
             jnp.float32(cfg.safety_threshold if cfg.safety_enabled else -1e9),
