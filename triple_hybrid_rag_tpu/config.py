@@ -71,6 +71,10 @@ class RAGConfig:
     graph_weight: float = 1.0
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
+    # NOTE: the threshold applies to rerank scores and is calibrated to the reranker:
+    # with trained encoders / LLM rerankers ([0,1] relevance) the reference's 0.6 holds;
+    # with the default hash token embedders MaxSim ~ query-token recall, where ~0.35
+    # separates paraphrases from garbage (see examples/basic_usage.py).
     safety_threshold: float = 0.6
     denoise_alpha: float = 0.6
     conformal_alpha: float = 0.6  # percentile variant: keep score >= pct(scores, (1-a)*100)
