@@ -18,8 +18,8 @@ extend them after mutations. The store itself is plain Python and picklable for 
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
 
 from .types import ChildChunk, Document, IngestionStatus, ParentChunk
 

@@ -15,7 +15,7 @@ Scores are cosine similarity == dot product of unit vectors, matching ``1 - (a <
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,8 +32,8 @@ import numpy as np
 
 from ..config import RAGConfig
 from ..corpus import CorpusStore
-from ..models.entity_extractor import EntityStore, canonical_key
-from ..ops.graph import khop_chunk_scores, khop_distances, khop_entity_scores, INF_DIST
+from ..models.entity_extractor import EntityStore
+from ..ops.graph import khop_chunk_scores, khop_distances, INF_DIST
 from ..ops.topk import masked_top_k
 from ..types import Entity, QueryPlan
 

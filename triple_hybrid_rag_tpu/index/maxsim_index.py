@@ -9,7 +9,7 @@ the gather cost is trivial while the store itself streams once at build time.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

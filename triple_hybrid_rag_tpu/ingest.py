@@ -29,7 +29,6 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .analyzer import Analyzer
 from .chunker import HierarchicalChunker
 from .config import RAGConfig, get_settings
 from .corpus import CorpusStore

@@ -18,7 +18,7 @@ import io
 import json
 import re
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from .types import FileType, LoadedDocument, Modality, PageContent
 

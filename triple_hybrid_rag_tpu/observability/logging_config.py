@@ -10,7 +10,6 @@ import json
 import logging
 import sys
 import time
-from typing import Optional
 
 
 class JsonFormatter(logging.Formatter):

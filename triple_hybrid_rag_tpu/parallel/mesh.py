@@ -10,7 +10,7 @@ Axis convention (BASELINE.json north star; SURVEY.md §2.6):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
