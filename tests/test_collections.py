@@ -65,6 +65,26 @@ def test_scoped_semantic_only(rag, cfg):
     assert r.results and all("Tenant A" in x.text for x in r.results)
 
 
+def test_engine_per_query_collections(rag):
+    """The batched engine scopes per query in one dispatch."""
+    results = rag.query_batch(
+        ["payment invoices settle"] * 3,
+        collections=["tenant_a", "tenant_b", None],
+    )
+    assert all("Tenant A" in x.text for x in results[0].results)
+    assert all("Tenant B" in x.text for x in results[1].results)
+    texts = " ".join(x.text for x in results[2].results)
+    assert "Tenant A" in texts and "Tenant B" in texts
+    # unknown collection matches nothing
+    r = rag.query_batch(["payment invoices"], collections=["nope"])[0]
+    assert r.refused or r.results == []
+    # engine matches staged scoping
+    staged = rag.ingestor.make_retriever().retrieve(
+        "payment invoices settle", collection="tenant_a"
+    )
+    assert {x.chunk_id for x in staged.results} == {x.chunk_id for x in results[0].results}
+
+
 def test_collection_registry(rag):
     corpus = rag.ingestor.corpus
     assert set(corpus.collection_names()) == {"tenant_a", "tenant_b"}

@@ -65,20 +65,27 @@ class RAG:
 
     def query(self, query: str, top_k: Optional[int] = None, **kwargs) -> RetrievalResult:
         retriever = self.retriever
-        # collection-scoped queries run the staged path (per-query row filters);
-        # the batched engine serves per-tenant batches instead
-        if self.use_sharded_engine and not kwargs.get("collection"):
-            return self._get_engine().retrieve(query, top_k=top_k)
+        if self.use_sharded_engine:
+            return self._get_engine().retrieve(
+                query, top_k=top_k, collection=kwargs.get("collection")
+            )
         return retriever.retrieve(query, top_k=top_k, **kwargs)
 
     def query_batch(
-        self, queries: List[str], top_k: Optional[int] = None
+        self,
+        queries: List[str],
+        top_k: Optional[int] = None,
+        collection: Optional[str] = None,
+        collections: Optional[List[Optional[str]]] = None,
     ) -> List[RetrievalResult]:
         """Batched retrieval through the one-dispatch engine (the serving path —
-        batching amortizes the host->device round trip; see parallel/engine.py)."""
+        batching amortizes the host->device round trip; see parallel/engine.py).
+        Collection scoping works batch-wide or per query."""
         if not queries:
             return []
-        return self._get_engine().retrieve_batch(queries, top_k=top_k)
+        return self._get_engine().retrieve_batch(
+            queries, top_k=top_k, collection=collection, collections=collections
+        )
 
     def _get_engine(self):
         retriever = self.retriever  # may invalidate self._engine via rebuild

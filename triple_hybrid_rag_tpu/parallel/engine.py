@@ -214,6 +214,14 @@ class ShardedEngine:
             self.nbr = repl(jnp.full((8, 1), -1, jnp.int32))
             self.chunk_entities = shard_rows(jnp.full((n_pad, 1), -1, jnp.int32), 2)
             self.e_pad = 8
+        # ---- collection scoping (sharded row -> collection-id filter table) ----
+        self.collection_ids = dict(getattr(retriever, "collection_ids", {}) or {})
+        coll = getattr(retriever, "collection_of", None)
+        if coll is not None:
+            self.collection_of = shard_rows(coll)
+        else:
+            self.collection_of = shard_rows(jnp.full((n_pad,), -1, jnp.int32))
+
         # ---- replicated small tables ----
         self.parent_of = repl(_pad_rows(retriever.parent_of, n_pad))
         pe = getattr(retriever.reranker, "parent_embeddings", None)
@@ -270,33 +278,42 @@ class ShardedEngine:
         def program(
             lex_offsets, lex_lengths, lex_pd, lex_pt,
             term_ids, term_weights, embeddings, dense_scales, valid, nbr, chunk_entities,
+            collection_of,
             parent_of, parent_emb, mx_tokens, mx_mask,
             q_terms, qs_terms, qs_slots, ql_terms, ql_slots,
             q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
-            graph_on,
+            graph_on, coll_cid,
         ):
             # stacked shard arrays arrive as [1, ...]: drop the shard axis
             lex_offsets, lex_lengths = lex_offsets[0], lex_lengths[0]
             lex_pd, lex_pt = lex_pd[0], lex_pt[0]
 
+            def row_mask_for(b):
+                # per-query collection filter over this shard's rows
+                # (cid -1 = unscoped; -2 = unknown collection -> match nothing)
+                cid = coll_cid[b]
+                return (cid == -1) | (collection_of == cid)
+
             # ---- lexical ----
             if lex_mode == "sorted" and use_tiering:
-                def lex_one(st, ss, lt, ls):
+                def lex_one(st, ss, lt, ls, b):
                     return score_postings_topk_tiered(
                         lex_offsets, lex_lengths, lex_pd, lex_pt,
-                        st, ss, lt, ls,
+                        st, ss, lt, ls, row_mask_for(b),
                         l_small=l_small, l_max=l_max, n_pad=n_loc, top_k=k_lex,
                     )
-                l_ids, l_vals = jax.vmap(lex_one)(qs_terms, qs_slots, ql_terms, ql_slots)
+                l_ids, l_vals = jax.vmap(lex_one)(
+                    qs_terms, qs_slots, ql_terms, ql_slots, jnp.arange(batch)
+                )
                 lex_ids, lex_scores = merge(l_ids, l_vals, k_lex)
             elif lex_mode == "sorted":
-                def lex_one(qt):
+                def lex_one(qt, b):
                     # lex_pt carries PRECOMPUTED per-posting BM25 contributions
                     return score_postings_topk_pre(
                         lex_offsets, lex_lengths, lex_pd, lex_pt,
-                        qt, l_max=l_max, n_pad=n_loc, top_k=k_lex,
+                        qt, row_mask_for(b), l_max=l_max, n_pad=n_loc, top_k=k_lex,
                     )
-                l_ids, l_vals = jax.vmap(lex_one)(q_terms)  # [B, k_lex] local
+                l_ids, l_vals = jax.vmap(lex_one)(q_terms, jnp.arange(batch))
                 lex_ids, lex_scores = merge(l_ids, l_vals, k_lex)
             elif lex_mode == "termtable":
                 def lex_one(qt):
@@ -319,8 +336,10 @@ class ShardedEngine:
                 )  # [B, n_loc]
             if use_sem:
                 d_ids, d_vals = jax.vmap(
-                    lambda sc: masked_top_k(sc, k_sem, valid=valid, invalid_score_floor=-2.0)
-                )(scores)
+                    lambda sc, b: masked_top_k(
+                        sc, k_sem, valid=valid & row_mask_for(b), invalid_score_floor=-2.0
+                    )
+                )(scores, jnp.arange(batch))
                 sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
             else:
                 sem_ids = jnp.full((batch, 1), -1, jnp.int32)
@@ -328,11 +347,11 @@ class ShardedEngine:
 
             # ---- graph ----
             if use_graph:
-                def graph_one(seed_vec, on):
+                def graph_one(seed_vec, on, b):
                     ent = khop_entity_scores(nbr, seed_vec, hops=hops)
                     sc = chunk_scores_from_entities(chunk_entities, ent)
-                    return masked_top_k(jnp.where(on, sc, 0.0), k_graph)
-                g_ids, g_vals = jax.vmap(graph_one)(seeds, graph_on)
+                    return masked_top_k(jnp.where(on, sc, 0.0), k_graph, valid=row_mask_for(b))
+                g_ids, g_vals = jax.vmap(graph_one)(seeds, graph_on, jnp.arange(batch))
                 graph_ids, graph_scores = merge(g_ids, g_vals, k_graph)
             else:
                 graph_ids = jnp.full((batch, 1), -1, jnp.int32)
@@ -388,8 +407,9 @@ class ShardedEngine:
             in_specs=(
                 shard2, shard2, shard2, shard2,
                 shard2, shard2, shard2, P("shard"), P("shard"), rep, shard2,
+                P("shard"),
                 rep, rep, rep, rep,
-                qd2, qd2, qd2, qd2, qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1,
+                qd2, qd2, qd2, qd2, qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1, qd1,
             ),
             out_specs=(qd2, qd2, qd1, qd1,
                        FusedCandidates(qd2, qd2, qd2, qd2, qd2, qd2), qd2),
@@ -409,18 +429,26 @@ class ShardedEngine:
             self.term_ids, self.term_weights, self.embeddings,
             self.dense_scales,
             self.valid,
-            self.nbr, self.chunk_entities, self.parent_of,
+            self.nbr, self.chunk_entities, self.collection_of, self.parent_of,
             self.parent_emb if self.parent_emb is not None else zero2,
             self.maxsim_tokens if self.maxsim_tokens is not None else zero2[:, :, None],
             self.maxsim_mask if self.maxsim_mask is not None else zero_mask,
         )
 
-    def prepare_queries(self, queries: Sequence[str]) -> Tuple[List[QueryPlan], tuple]:
-        """Host prep for a batch: plan, analyze, embed, seed."""
+    def prepare_queries(
+        self, queries: Sequence[str], collections: Optional[Sequence[Optional[str]]] = None
+    ) -> Tuple[List[QueryPlan], tuple]:
+        """Host prep for a batch: plan, analyze, embed, seed, collection scope."""
         r = self.retriever
         cfg = self.config
         b = len(queries)
         plans = [r.planner.plan(q) for q in queries]
+
+        coll_cid = np.full((b,), -1, np.int32)  # -1 = unscoped
+        if collections is not None:
+            for i, name in enumerate(collections):
+                if name is not None:
+                    coll_cid[i] = self.collection_ids.get(name, -2)  # -2 = match nothing
 
         q_terms = np.full((b, cfg.max_query_terms), -1, np.int32)
         qs_terms = np.full((b, cfg.max_query_terms), -1, np.int32)
@@ -486,32 +514,46 @@ class ShardedEngine:
             jnp.float32(cfg.safety_threshold if cfg.safety_enabled else -1e9),
             jnp.float32(cfg.denoise_alpha if cfg.denoise_enabled else 0.0),
             jnp.asarray(graph_on),
+            jnp.asarray(coll_cid),
         )
         return plans, args
 
-    def search_arrays(self, queries: Sequence[str]):
+    def search_arrays(
+        self, queries: Sequence[str], collections: Optional[Sequence[Optional[str]]] = None
+    ):
         """One-dispatch batched search returning raw device results."""
-        plans, args = self.prepare_queries(queries)
+        plans, args = self.prepare_queries(queries, collections)
         out = self._program(len(queries))(*self._index_args(), *args)
         return plans, out
 
-    def retrieve(self, query: str, top_k: Optional[int] = None) -> RetrievalResult:
-        return self.retrieve_batch([query], top_k=top_k)[0]
+    def retrieve(
+        self, query: str, top_k: Optional[int] = None, collection: Optional[str] = None
+    ) -> RetrievalResult:
+        return self.retrieve_batch([query], top_k=top_k, collection=collection)[0]
 
     def retrieve_batch(
-        self, queries: Sequence[str], top_k: Optional[int] = None
+        self,
+        queries: Sequence[str],
+        top_k: Optional[int] = None,
+        collection: Optional[str] = None,
+        collections: Optional[Sequence[Optional[str]]] = None,
     ) -> List[RetrievalResult]:
         """Batched one-dispatch retrieval with host decode. The batch pads up to a
-        multiple of the mesh's data axis (each replica group serves an equal slice)."""
+        multiple of the mesh's data axis (each replica group serves an equal slice).
+        ``collection`` scopes the whole batch; ``collections`` scopes per query."""
         from ..retrieval import decode_results
 
         n_real = len(queries)
         dp = int(self.mesh.shape.get("data", 1))
         padded = list(queries)
+        colls = list(collections) if collections is not None else [collection] * n_real
         while len(padded) % dp:
             padded.append(queries[0])
+            colls.append(colls[0] if colls else None)
         t0 = time.perf_counter()
-        plans, (ids, scores, refused, max_score, fused, rerank) = self.search_arrays(padded)
+        plans, (ids, scores, refused, max_score, fused, rerank) = self.search_arrays(
+            padded, colls
+        )
         queries, plans = queries[:n_real], plans[:n_real]
         jax.block_until_ready(ids)
         dispatch_ms = (time.perf_counter() - t0) * 1e3
