@@ -206,6 +206,7 @@ def main():
                             jnp.float32), (b, 3)),
             jnp.float32(0.0), jnp.float32(cfg.denoise_alpha),
             jnp.zeros((b,), bool),
+            jnp.full((b,), -1, jnp.int32),  # unscoped (no collection filter)
         )
 
     idx_args = engine._index_args()

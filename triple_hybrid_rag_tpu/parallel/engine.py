@@ -238,14 +238,15 @@ class ShardedEngine:
 
     # ------------------------------------------------------------------
 
-    def _program(self, batch: int):
-        fn = self._programs.get(batch)
+    def _program(self, batch: int, scoped: bool = False):
+        key = (batch, scoped)
+        fn = self._programs.get(key)
         if fn is None:
-            fn = self._build_program(batch)
-            self._programs[batch] = fn
+            fn = self._build_program(batch, scoped)
+            self._programs[key] = fn
         return fn
 
-    def _build_program(self, batch: int):
+    def _build_program(self, batch: int, scoped: bool = False):
         cfg = self.config
         mesh = self.mesh
         dp = int(mesh.shape.get("data", 1))
@@ -290,7 +291,10 @@ class ShardedEngine:
 
             def row_mask_for(b):
                 # per-query collection filter over this shard's rows
-                # (cid -1 = unscoped; -2 = unknown collection -> match nothing)
+                # (cid -1 = unscoped; -2 = unknown collection -> match nothing).
+                # The unscoped program variant skips the mask read entirely.
+                if not scoped:
+                    return None
                 cid = coll_cid[b]
                 return (cid == -1) | (collection_of == cid)
 
@@ -335,11 +339,12 @@ class ShardedEngine:
                     preferred_element_type=jnp.float32,
                 )  # [B, n_loc]
             if use_sem:
-                d_ids, d_vals = jax.vmap(
-                    lambda sc, b: masked_top_k(
-                        sc, k_sem, valid=valid & row_mask_for(b), invalid_score_floor=-2.0
-                    )
-                )(scores, jnp.arange(batch))
+                def dense_top(sc, b):
+                    m = row_mask_for(b)
+                    v = valid if m is None else valid & m
+                    return masked_top_k(sc, k_sem, valid=v, invalid_score_floor=-2.0)
+
+                d_ids, d_vals = jax.vmap(dense_top)(scores, jnp.arange(batch))
                 sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
             else:
                 sem_ids = jnp.full((batch, 1), -1, jnp.int32)
@@ -523,7 +528,8 @@ class ShardedEngine:
     ):
         """One-dispatch batched search returning raw device results."""
         plans, args = self.prepare_queries(queries, collections)
-        out = self._program(len(queries))(*self._index_args(), *args)
+        scoped = collections is not None and any(c is not None for c in collections)
+        out = self._program(len(queries), scoped)(*self._index_args(), *args)
         return plans, out
 
     def retrieve(
