@@ -119,3 +119,29 @@ def test_train_step_multi_dp(small_config):
     state, m = step(state, jnp.asarray(q_ids), jnp.asarray(q_mask),
                     jnp.asarray(d_ids), jnp.asarray(d_mask))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_encoder_params_save_load(tmp_path):
+    from triple_hybrid_rag_tpu.models.encoder import (
+        load_encoder_params,
+        save_encoder_params,
+    )
+
+    model, params = init_encoder(TINY, seed=1)
+    path = tmp_path / "enc.npz"
+    save_encoder_params(params, path)
+    _, fresh = init_encoder(TINY, seed=2)  # different init
+    restored = load_encoder_params(fresh, path)
+    h = TextHasher(TINY, RAGConfig())
+    ids, mask = h.encode(["payment invoice"])
+    a, _ = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    b, _ = model.apply(restored, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # shape mismatch detected
+    import pytest as _pytest
+
+    bad_cfg = EncoderConfig(**{**TINY.__dict__, "d_model": 64})
+    _, bad = init_encoder(bad_cfg, seed=0)
+    with _pytest.raises((ValueError, KeyError)):
+        load_encoder_params(bad, path)

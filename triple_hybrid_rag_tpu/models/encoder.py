@@ -219,3 +219,34 @@ class EncoderEmbedder:
         if dim is not None:
             out = out[..., :dim]
         return out
+
+
+def save_encoder_params(params, path) -> None:
+    """Persist encoder params as an npz of flattened paths (no orbax dependency;
+    the model-weights half of checkpointing — index artifacts live in index/checkpoint)."""
+    import numpy as np
+
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    np.savez_compressed(path, **flat)
+
+
+def load_encoder_params(template_params, path):
+    """Restore params saved by :func:`save_encoder_params` into the template's tree
+    structure (shapes verified)."""
+    import numpy as np
+
+    npz = np.load(path)
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template_params)
+    new_leaves = []
+    for keypath, leaf in leaves_with_path:
+        name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+        if name not in npz:
+            raise KeyError(f"checkpoint missing parameter {name}")
+        arr = npz[name]
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch for {name}: {arr.shape} vs {leaf.shape}")
+        new_leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
