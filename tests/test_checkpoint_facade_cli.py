@@ -140,3 +140,19 @@ def test_cli_reingest_skips(cfg, docs_dir, tmp_path, capsys, monkeypatch):
     capsys.readouterr()
     cli_main(["ingest", str(docs_dir), "--index", index])
     assert "[SKIP]" in capsys.readouterr().out
+
+
+def test_facade_engine_mode_with_mutation(cfg, docs_dir):
+    """use_sharded_engine=True: engine rebuilds when the corpus mutates."""
+    rag = RAG(config=cfg.replace(graph_enabled=False), use_sharded_engine=True)
+    rag.ingest_directory(docs_dir)
+    r1 = rag.query("invoice settlement", top_k=2)
+    assert not r1.refused and "invoices" in r1.results[0].text.lower()
+    # mutation invalidates the compiled engine snapshot
+    rag.ingest_text("Quantum processors keep qubits coherent.", name="q.md")
+    r2 = rag.query("quantum qubits coherent")
+    assert any("Quantum" in x.text for x in r2.results)
+    # batched + scoped still works in engine mode
+    rag.ingest_text("Tenant X special payment rules.", name="x.md", collection="x")
+    out = rag.query_batch(["payment rules", "payment rules"], collections=["x", None])
+    assert all("Tenant X" in r.text for r in out[0].results)
