@@ -150,3 +150,31 @@ def test_sharded_timing_fields(cfg):
     eng = ShardedEngine(Retriever(corpus, c), corpus_mesh())
     r = eng.retrieve("invoice payment")
     assert "dispatch_ms" in r.timings and "total_ms" in r.timings
+
+
+def test_engine_refresh_without_recompile(cfg):
+    """Placement-only refresh after corpus growth: same compiled programs, new data."""
+    corpus, _ = build_fixture(cfg, n_docs=4, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    ret = Retriever(corpus, c)
+    eng = ShardedEngine(ret, corpus_mesh())
+    eng.retrieve("invoice payment")  # compile batch-1 program
+    progs_before = dict(eng._programs)
+
+    # grow the corpus within the padded capacity and rebuild the retriever
+    import hashlib
+    from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+
+    p, ch = HierarchicalChunker(c).chunk_document(
+        "Fresh quantum qubit document content.", hashlib.sha256(b"new").hexdigest()
+    )
+    corpus.add_chunks(p, ch)
+    ret2 = Retriever(corpus, c)
+    assert eng.refresh(ret2) is True
+    assert eng._programs is not None and dict(eng._programs) == progs_before
+    r = eng.retrieve("quantum qubit")
+    assert any("quantum" in x.text.lower() for x in r.results)
+
+    # config change -> refresh declines
+    ret3 = Retriever(corpus, c.replace(final_top_k=4))
+    assert eng.refresh(ret3) is False

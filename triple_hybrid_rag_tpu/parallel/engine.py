@@ -238,6 +238,46 @@ class ShardedEngine:
 
     # ------------------------------------------------------------------
 
+    def refresh(self, retriever=None) -> bool:
+        """Re-place index arrays from an updated retriever WITHOUT recompiling.
+
+        Corpus mutations normally force a new engine (new compiled programs, ~15-40s
+        each on remote-compile links). When the padded capacity and static config are
+        unchanged — the common case thanks to capacity rounding — the compiled
+        programs remain shape-valid, so a refresh is placement-only (seconds at 1M).
+        Returns True when the fast path applied; False means shapes/config changed and
+        the caller must build a fresh engine."""
+        retriever = retriever or self.retriever
+        new = ShardedEngine.__new__(ShardedEngine)
+        try:
+            ShardedEngine.__init__(new, retriever, self.mesh)
+        except Exception:
+            return False
+        if (
+            new.n_pad != self.n_pad
+            or new.lex_l_max != self.lex_l_max
+            or new.lexical_mode != self.lexical_mode
+            or new.e_pad != self.e_pad
+            or new.dim != self.dim
+            or new._use_int8 != self._use_int8
+            or new.config != self.config
+            # channel/rerank presence is baked into the compiled programs as statics
+            or (new.retriever.graph_index is None) != (self.retriever.graph_index is None)
+            or (new.retriever.dense_index is None) != (self.retriever.dense_index is None)
+            or (new.maxsim_tokens is None) != (self.maxsim_tokens is None)
+            or (new.parent_emb is None) != (self.parent_emb is None)
+            or (new.maxsim_tokens is not None and new.maxsim_tokens.shape != self.maxsim_tokens.shape)
+        ):
+            return False
+        for attr in (
+            "retriever", "corpus", "lex_offsets", "lex_lengths", "lex_pd", "lex_pt",
+            "term_ids", "term_weights", "embeddings", "dense_scales", "valid",
+            "nbr", "chunk_entities", "collection_of", "parent_of", "parent_emb",
+            "maxsim_tokens", "maxsim_mask", "collection_ids",
+        ):
+            setattr(self, attr, getattr(new, attr))
+        return True  # self._programs preserved: zero recompiles
+
     def _program(self, batch: int, scoped: bool = False):
         key = (batch, scoped)
         fn = self._programs.get(key)
