@@ -60,7 +60,10 @@ class RAG:
     def retriever(self) -> Retriever:
         if self._retriever is None or self.ingestor.corpus.dirty:
             self._retriever = self.ingestor.make_retriever()
-            self._engine = None
+            # live update: re-place arrays into the existing engine when its compiled
+            # programs are still shape-valid (zero recompiles); else rebuild lazily
+            if self._engine is not None and not self._engine.refresh(self._retriever):
+                self._engine = None
         return self._retriever
 
     def query(self, query: str, top_k: Optional[int] = None, **kwargs) -> RetrievalResult:
