@@ -197,3 +197,26 @@ def test_overflow_cap_keeps_top_weights():
     some_kept = next(iter(kept_terms))
     qt = jnp.asarray(idx.encode_query([some_kept]))
     assert np.asarray(idx.score(qt, backend="termtable"))[0] > 0
+
+
+def test_tiered_matches_untiered(index, cfg):
+    """score_postings_topk_tiered must reproduce the untiered op exactly (same
+    postings, same summation order via original slot keys)."""
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.bm25 import score_postings_topk_tiered
+
+    analyzer = Analyzer(cfg)
+    for q in ["quick brown fox", "payment invoice", "fox forest", "the a of"]:
+        kws = analyzer.tokenize(q)
+        qt = jnp.asarray(index.encode_query(kws))
+        ids_u, vals_u = index.search_sorted(qt, 8)
+        st, ss, lt, ls = index.encode_query_tiered(kws)
+        ids_t, vals_t = score_postings_topk_tiered(
+            index.offsets, index.lengths, index.postings_doc, index.postings_weight,
+            jnp.asarray(st), jnp.asarray(ss), jnp.asarray(lt), jnp.asarray(ls),
+            l_small=min(cfg.bm25_small_window, index.l_max),
+            l_max=index.l_max, n_pad=index.n_pad, top_k=8,
+        )
+        np.testing.assert_array_equal(np.asarray(ids_u), np.asarray(ids_t)), q
+        np.testing.assert_array_equal(np.asarray(vals_u), np.asarray(vals_t)), q

@@ -1,0 +1,71 @@
+"""Randomized differential testing: the staged retriever and the sharded engine must
+agree on random corpora, configs, and queries (the two paths share ops but differ in
+orchestration, sharding, batching, and tiering — divergence means a bug)."""
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.corpus import CorpusStore
+from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
+from triple_hybrid_rag_tpu.retrieval import Retriever
+
+WORDS = (
+    "invoice payment billing settlement contract termination clause notice fox forest "
+    "bear habitat password security portal access freight customs warehouse delivery "
+    "quantum qubit processor coherence renewal penalty quarterly schedule approval"
+).split()
+
+
+def random_corpus(rng: random.Random, cfg: RAGConfig, n_docs: int) -> CorpusStore:
+    store = CorpusStore()
+    chunker = HierarchicalChunker(cfg)
+    for i in range(n_docs):
+        n_sent = rng.randint(2, 8)
+        text = f"# Doc {i}\n\n" + " ".join(
+            " ".join(rng.choices(WORDS, k=rng.randint(4, 10))).capitalize() + "."
+            for _ in range(n_sent)
+        )
+        doc_id = hashlib.sha256(f"{i}-{text[:20]}".encode()).hexdigest()
+        p, c = chunker.chunk_document(text, doc_id)
+        store.add_chunks(p, c)
+    return store
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_staged_vs_engine_agree(seed, small_config):
+    rng = random.Random(seed)
+    cfg = small_config.replace(
+        graph_enabled=False,
+        embedding_dtype=rng.choice(["float32", "int8"]),
+        safety_threshold=rng.choice([0.0, 0.2]),
+        denoise_alpha=rng.choice([0.0, 0.6]),
+        rerank_backend=rng.choice(["maxsim", "dot"]),
+        lexical_top_k=rng.choice([4, 8]),
+        semantic_top_k=rng.choice([4, 8]),
+        capacity_round=8,
+        bm25_df_cap=rng.choice([0, 4]),
+    )
+    store = random_corpus(rng, cfg, n_docs=rng.randint(5, 20))
+    ret = Retriever(store, cfg)
+    eng = ShardedEngine(ret, corpus_mesh())
+
+    queries = [
+        " ".join(rng.choices(WORDS, k=rng.randint(1, 5))) for _ in range(6)
+    ] + ["zzz qqq unknown tokens"]
+    batch = eng.retrieve_batch(queries)
+    for q, r_eng in zip(queries, batch):
+        r_staged = ret.retrieve(q)
+        assert r_staged.refused == r_eng.refused, (seed, q)
+        assert [x.chunk_id for x in r_staged.results] == [
+            x.chunk_id for x in r_eng.results
+        ], (seed, q)
+        np.testing.assert_allclose(
+            [x.final_score for x in r_staged.results],
+            [x.final_score for x in r_eng.results],
+            rtol=1e-4, atol=1e-6, err_msg=f"{seed} {q}",
+        )
