@@ -45,6 +45,7 @@ DF_CAP = int(os.environ.get("BENCH_DF_CAP", 2048))
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 N_SINGLE = int(os.environ.get("BENCH_QUERIES", 20))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8
 BASELINE_P50_MS = 300.0  # reference retrieval p50 (ARCHITECTURE.md:386)
 
 
@@ -105,17 +106,29 @@ def build_synthetic(cfg: RAGConfig):
         host_weights=pw,
     )
 
-    # ---- dense embeddings: unit rows, bf16, generated on device ----
+    # ---- dense embeddings: unit rows, generated + (optionally) quantized on device ----
     blocks = []
+    scale_blocks = []
     bs = 131072
     for i in range(0, n_pad, bs):
         k = jax.random.fold_in(key, i)
         v = jax.random.normal(k, (min(bs, n_pad - i), DIM), jnp.float32)
         v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
-        blocks.append(v.astype(jnp.bfloat16))
+        if DTYPE == "int8":
+            absmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-12)
+            scale = absmax / 127.0
+            blocks.append(
+                jnp.clip(jnp.round(v / scale[:, None]), -127, 127).astype(jnp.int8)
+            )
+            scale_blocks.append(scale)
+        else:
+            blocks.append(v.astype(jnp.bfloat16))
     emb = jnp.concatenate(blocks)
     valid = jnp.arange(n_pad) < N
-    dense = DenseIndex(embeddings=emb, valid=valid, n_docs=N, n_pad=n_pad, dim=DIM, config=cfg)
+    dense = DenseIndex(
+        embeddings=emb, valid=valid, n_docs=N, n_pad=n_pad, dim=DIM, config=cfg,
+        scales=jnp.concatenate(scale_blocks) if DTYPE == "int8" else None,
+    )
 
     # ---- maxsim token store over parents (N/5) ----
     n_parents = N // 5
@@ -139,7 +152,9 @@ def build_synthetic(cfg: RAGConfig):
 def main():
     cfg = RAGConfig(
         capacity_round=1024, embedding_dim=DIM, embedding_dim_full=DIM,
-        maxsim_doc_tokens=32, maxsim_dim=64, maxsim_query_tokens=16,
+        embedding_dtype=DTYPE,
+        maxsim_doc_tokens=int(os.environ.get("BENCH_MAXSIM_TOKENS", 32)),
+        maxsim_dim=64, maxsim_query_tokens=16,
         safety_threshold=0.0, graph_enabled=False,
         lexical_backend="sorted", bm25_df_cap=DF_CAP,
     )
@@ -160,6 +175,12 @@ def main():
     t0 = time.time()
     engine = ShardedEngine(retr, corpus_mesh())
     log(f"engine placed (per-shard CSR) in {time.time()-t0:.1f}s")
+    # free the pre-placement device copies (engine holds its own placed arrays);
+    # without this 4M-scale runs hold everything twice and exhaust HBM
+    bm25.postings_doc = bm25.postings_tf = bm25.postings_weight = None
+    bm25.offsets = bm25.lengths = bm25.term_ids = bm25.term_weights = None
+    dense.embeddings = dense.valid = dense.scales = None
+    mx.tokens = mx.mask = None
 
     # ---- query args straight from the corpus (self-retrieval ground truth) ----
     rng = np.random.default_rng(42)
@@ -167,7 +188,11 @@ def main():
     rows = rng.integers(0, N, size=n_rows)
     q_terms = np.full((n_rows, cfg.max_query_terms), -1, np.int32)
     q_terms[:, :16] = term_ids_doc[rows, :16]
-    q_vecs = np.asarray(jnp.take(engine.embeddings, jnp.asarray(rows), axis=0)).astype(np.float32)
+    q_rows = jnp.take(engine.embeddings, jnp.asarray(rows), axis=0)
+    if DTYPE == "int8":
+        q_scales = jnp.take(engine.dense_scales, jnp.asarray(rows), axis=0)
+        q_rows = q_rows.astype(jnp.float32) * q_scales[:, None]
+    q_vecs = np.asarray(q_rows).astype(np.float32)
     p_rows = rows // 5
     q_toks = np.asarray(
         jnp.take(engine.maxsim_tokens[:, : cfg.maxsim_query_tokens], jnp.asarray(p_rows), axis=0)
