@@ -231,10 +231,21 @@ class DocumentLoader:
                 for i, p in enumerate(reader.pages)
             ]
             return LoadedDocument(filename=path.name, file_type=FileType.PDF, pages=pages)
-        except ImportError as e:
-            raise UnsupportedFormatError(
-                f"PDF support requires PyMuPDF or pypdf (not installed): {path.name}"
-            ) from e
+        except ImportError:
+            pass
+        # built-in minimal extractor (stdlib zlib): digitally-generated simple PDFs
+        from .pdf_text import extract_pdf_text
+
+        texts = extract_pdf_text(data)
+        if texts:
+            pages = [
+                PageContent(page_number=i + 1, text=t) for i, t in enumerate(texts)
+            ]
+            return LoadedDocument(filename=path.name, file_type=FileType.PDF, pages=pages)
+        raise UnsupportedFormatError(
+            f"no text extractable from {path.name}: install PyMuPDF/pypdf for complex "
+            "PDFs, or configure OCR for scanned documents"
+        )
 
     def _load_image(self, path: Path, data: bytes) -> LoadedDocument:
         if self.ocr is None:
