@@ -60,7 +60,7 @@ def test_ingest_failure_marks_status(cfg, tmp_path):
     ing = Ingestor(config=cfg)
     res = ing.ingest_file(p)
     assert res.status == IngestionStatus.FAILED
-    assert "PDF support requires" in (res.error or "")
+    assert "no text extractable" in (res.error or "")
     assert ing.corpus.documents[res.doc_id].status == IngestionStatus.FAILED
 
 

@@ -105,5 +105,5 @@ def test_image_with_ocr(tmp_path):
 def test_pdf_gated_without_deps(tmp_path):
     p = tmp_path / "f.pdf"
     p.write_bytes(b"%PDF-1.4 fake")
-    with pytest.raises(UnsupportedFormatError, match="PDF support requires"):
+    with pytest.raises(UnsupportedFormatError, match="no text extractable"):
         DocumentLoader().load(p)
