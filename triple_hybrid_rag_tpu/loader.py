@@ -262,7 +262,7 @@ class DocumentLoader:
     def _load_office(self, path: Path, data: bytes, ftype: FileType) -> LoadedDocument:
         if ftype == FileType.DOCX:
             try:
-                import docx  # python-docx
+                import docx  # python-docx (optional: richer extraction)
 
                 d = docx.Document(io.BytesIO(data))
                 parts = []
@@ -274,15 +274,36 @@ class DocumentLoader:
                     else:
                         parts.append(para.text)
                 text = "\n\n".join(p for p in parts if p.strip())
-                pages = [
-                    PageContent(page_number=i + 1, text=t)
-                    for i, t in enumerate(self._paginate(text))
-                ]
-                return LoadedDocument(filename=path.name, file_type=ftype, pages=pages)
-            except ImportError as e:
-                raise UnsupportedFormatError(
-                    f"DOCX support requires python-docx (not installed): {path.name}"
-                ) from e
-        raise UnsupportedFormatError(
-            f"XLSX support requires openpyxl (not installed): {path.name}"
-        )
+            except ImportError:
+                from .office_text import extract_docx_text
+
+                try:
+                    text = extract_docx_text(data)
+                except Exception as e:
+                    raise UnsupportedFormatError(
+                        f"cannot extract DOCX text from {path.name}: {e}"
+                    ) from e
+            if not text.strip():
+                raise UnsupportedFormatError(f"no text extractable from {path.name}")
+            pages = [
+                PageContent(page_number=i + 1, text=t)
+                for i, t in enumerate(self._paginate(text))
+            ]
+            return LoadedDocument(filename=path.name, file_type=ftype, pages=pages)
+
+        # XLSX -> one markdown table page per sheet (reference loader.py:439 semantics)
+        from .office_text import extract_xlsx_tables
+
+        try:
+            tables = extract_xlsx_tables(data)
+        except Exception as e:
+            raise UnsupportedFormatError(
+                f"cannot extract XLSX sheets from {path.name}: {e}"
+            ) from e
+        if not tables:
+            raise UnsupportedFormatError(f"no sheets extractable from {path.name}")
+        pages = [
+            PageContent(page_number=i + 1, text=t, modality=Modality.TABLE)
+            for i, t in enumerate(tables)
+        ]
+        return LoadedDocument(filename=path.name, file_type=FileType.XLSX, pages=pages)
