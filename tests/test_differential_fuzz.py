@@ -69,3 +69,37 @@ def test_staged_vs_engine_agree(seed, small_config):
             [x.final_score for x in r_eng.results],
             rtol=1e-4, atol=1e-6, err_msg=f"{seed} {q}",
         )
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_staged_vs_engine_agree_with_graph(seed, small_config):
+    """Graph-enabled differential fuzz: entity extraction + k-hop channel included."""
+    from triple_hybrid_rag_tpu.index.graph_index import build_graph_index
+    from triple_hybrid_rag_tpu.models.entity_extractor import (
+        EntityStore,
+        RuleBasedExtractor,
+    )
+
+    rng = random.Random(seed)
+    cfg = small_config.replace(
+        graph_enabled=True, embedding_dtype="float32",
+        safety_threshold=0.1, capacity_round=8,
+    )
+    store = random_corpus(rng, cfg, n_docs=rng.randint(6, 12))
+    # seed entities into some chunks
+    estore = EntityStore()
+    ex = RuleBasedExtractor(cfg)
+    for p in store.parents:
+        kids = [c for c in store.children if c.parent_id == p.parent_id]
+        p.text = p.text + " Acme Corp oversees this. Maria Silva works for Acme Corp."
+        estore.store_extraction(ex.extract(p, kids))
+    gidx = build_graph_index(estore, store, cfg)
+    ret = Retriever(store, cfg, graph_index=gidx)
+    eng = ShardedEngine(ret, corpus_mesh())
+    for q in ["Who works for Acme Corp?", "invoice payment", "relationship between Acme Corp and Maria Silva"]:
+        r_staged = ret.retrieve(q)
+        r_eng = eng.retrieve(q)
+        assert r_staged.refused == r_eng.refused, (seed, q)
+        assert [x.chunk_id for x in r_staged.results] == [
+            x.chunk_id for x in r_eng.results
+        ], (seed, q)
