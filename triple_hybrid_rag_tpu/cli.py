@@ -61,7 +61,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
-def _print_result(result, as_json: bool) -> None:
+def _print_result(result, as_json: bool, verbose: bool = False) -> None:
     if as_json:
         print(json.dumps({
             "query": result.query,
@@ -82,6 +82,10 @@ def _print_result(result, as_json: bool) -> None:
     if result.refused:
         print(f"REFUSED: {result.refusal_reason}")
         return
+    if verbose:
+        from .observability.latency_viz import render_waterfall
+
+        print(render_waterfall(result.timings))
     for i, r in enumerate(result.results, 1):
         chans = "+".join(r.source_channels) or "-"
         head = f" [{r.section_heading}]" if r.section_heading else ""
@@ -105,9 +109,11 @@ def cmd_query(args: argparse.Namespace) -> int:
                 break
             if not q:
                 break
-            _print_result(rag.query(q, top_k=args.top_k), args.json)
+            _print_result(rag.query(q, top_k=args.top_k), args.json, args.verbose)
         return 0
-    _print_result(rag.query(" ".join(args.query), top_k=args.top_k), args.json)
+    _print_result(
+        rag.query(" ".join(args.query), top_k=args.top_k), args.json, args.verbose
+    )
     return 0
 
 
@@ -182,6 +188,8 @@ def main(argv=None) -> int:
     p.add_argument("query", nargs="*", help="query text (omit for --interactive)")
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--interactive", "-i", action="store_true")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="print the per-stage latency waterfall")
     _add_common(p)
     p.set_defaults(fn=cmd_query)
 

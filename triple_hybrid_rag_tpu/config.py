@@ -156,6 +156,10 @@ class RAGConfig:
 
     # ---- native fast path (C++ ingestion loops; graceful fallback to Python) ----
     use_native: bool = True
+    # Pallas kernels for hot ops (off-CPU only; XLA reference ops otherwise). Through
+    # this dev chip's tunnel the kernels time identically to XLA's fusions; the flag
+    # exists for locally-attached hardware where the explicit schedules can win.
+    use_pallas: bool = False
 
     @classmethod
     def from_env(cls, **overrides: object) -> "RAGConfig":
