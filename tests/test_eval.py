@@ -61,3 +61,27 @@ def test_baseline_config_ladder():
     assert r["3_dual_hybrid_rrf"] >= min(r["1_lexical_only"], r["2_dense_only"]) - 1e-6
     # ndcg sane
     assert 0.0 < n["5_full_pipeline"] <= 1.0
+
+
+@pytest.mark.slow
+def test_engine_quality_matches_staged():
+    """Retrieval quality through the batched engine equals the staged path."""
+    from triple_hybrid_rag_tpu.eval import evaluate, make_eval_corpus
+    from triple_hybrid_rag_tpu.index.graph_index import build_graph_index
+    from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+
+    cfg = RAGConfig(
+        capacity_round=64, embedding_dim=128, embedding_dim_full=256,
+        embedding_dtype="float32", safety_threshold=0.0, final_top_k=10,
+        rerank_top_k=20, denoise_alpha=0.0,
+    )
+    data = make_eval_corpus(cfg, docs_per_topic=2, distractors=10)
+    gidx = build_graph_index(data.entity_store, data.corpus, cfg)
+    ret = Retriever(data.corpus, cfg, graph_index=gidx)
+    eng = ShardedEngine(ret, corpus_mesh())
+    m_staged = evaluate(lambda q: ret.retrieve(q, top_k=10), data.queries, k=10)
+    m_engine = evaluate(lambda q: eng.retrieve(q, top_k=10), data.queries, k=10)
+    assert m_engine["recall@10"] == pytest.approx(m_staged["recall@10"], abs=1e-9)
+    assert m_engine["ndcg@10"] == pytest.approx(m_staged["ndcg@10"], abs=1e-9)
+    assert m_staged["recall@10"] > 0.5
