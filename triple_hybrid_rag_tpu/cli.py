@@ -163,9 +163,18 @@ def cmd_eval(args: argparse.Namespace) -> int:
 
 
 def cmd_serve(args: argparse.Namespace) -> int:
+    from .facade import RAG
     from .server import serve
 
-    httpd = serve(host=args.host, port=args.port, index_dir=args.index)
+    rag = None
+    if args.engine:
+        index_dir = Path(args.index)
+        rag = (
+            RAG.load(index_dir, use_sharded_engine=True)
+            if (index_dir / "manifest.json").exists()
+            else RAG(use_sharded_engine=True)
+        )
+    httpd = serve(host=args.host, port=args.port, rag=rag, index_dir=args.index)
     print(f"thr serving on http://{args.host}:{args.port} (index: {args.index})")
     try:
         httpd.serve_forever()
@@ -213,6 +222,8 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
     p.add_argument("--index", default="./thr_index")
+    p.add_argument("--engine", action="store_true",
+                   help="serve through the batched sharded engine (one-dispatch path)")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

@@ -144,7 +144,12 @@ class BM25Index:
         ``row_mask`` is the org/collection scoping the reference enforces with RLS."""
         k = top_k or self.config.lexical_top_k
         qt = jnp.asarray(self.encode_query(keywords))
-        if self.config.lexical_backend == "sorted":
+        backend = self.config.lexical_backend
+        if backend == "sorted" or (
+            backend == "auto" and self.n_docs >= 4096 and self.postings_weight is not None
+        ):
+            # sorted sparse path: O(matched postings), no dense score vector — the
+            # same backend the engine uses, so staged and engine stay consistent
             return self.search_sorted(qt, k, row_mask)
         return masked_top_k(self.score(qt), k, valid=row_mask)
 
