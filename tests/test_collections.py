@@ -85,6 +85,18 @@ def test_engine_per_query_collections(rag):
     assert {x.chunk_id for x in staged.results} == {x.chunk_id for x in results[0].results}
 
 
+def test_engine_scoping_termtable_backend(rag, cfg):
+    """The termtable lexical fallback must also honor collection masks (regression:
+    scoped engine queries leaked cross-tenant lexical candidates in termtable mode)."""
+    rag.ingestor.config = cfg.replace(lexical_backend="termtable")
+    rag.ingestor.corpus._dirty = True
+    rag._retriever = None
+    rag._engine = None
+    out = rag.query_batch(["payment invoices settle"], collections=["tenant_b"])[0]
+    assert out.results
+    assert all("Tenant B" in x.text for x in out.results)
+
+
 def test_collection_registry(rag):
     corpus = rag.ingestor.corpus
     assert set(corpus.collection_names()) == {"tenant_a", "tenant_b"}

@@ -360,9 +360,17 @@ class ShardedEngine:
                 l_ids, l_vals = jax.vmap(lex_one)(q_terms, jnp.arange(batch))
                 lex_ids, lex_scores = merge(l_ids, l_vals, k_lex)
             elif lex_mode == "termtable":
-                def lex_one(qt):
-                    return masked_top_k(score_termtable(term_ids, term_weights, qt), k_lex)
-                l_ids, l_vals = jax.lax.map(lex_one, q_terms)  # scan: one table pass/query
+                if scoped:
+                    def lex_one_scoped(qt, b):
+                        return masked_top_k(
+                            score_termtable(term_ids, term_weights, qt), k_lex,
+                            valid=row_mask_for(b),
+                        )
+                    l_ids, l_vals = jax.vmap(lex_one_scoped)(q_terms, jnp.arange(batch))
+                else:
+                    def lex_one(qt):
+                        return masked_top_k(score_termtable(term_ids, term_weights, qt), k_lex)
+                    l_ids, l_vals = jax.lax.map(lex_one, q_terms)  # one table pass/query
                 lex_ids, lex_scores = merge(l_ids, l_vals, k_lex)
             else:
                 lex_ids = jnp.full((batch, 1), -1, jnp.int32)
