@@ -107,3 +107,20 @@ def test_pdf_gated_without_deps(tmp_path):
     p.write_bytes(b"%PDF-1.4 fake")
     with pytest.raises(UnsupportedFormatError, match="no text extractable"):
         DocumentLoader().load(p)
+
+
+def test_load_html_tables_to_markdown(tmp_path):
+    p = tmp_path / "page.html"
+    p.write_text(
+        "<html><body><h2>Prices</h2>"
+        "<table><tr><th>item</th><th>price</th></tr>"
+        "<tr><td>setup</td><td><b>100</b></td></tr>"
+        "<tr><td>monthly</td><td>40</td></tr></table>"
+        "<p>After the table.</p></body></html>"
+    )
+    doc = DocumentLoader().load(p)
+    text = doc.full_text
+    assert "## Prices" in text
+    assert "| item | price |" in text
+    assert "| setup | 100 |" in text  # nested tags stripped
+    assert "After the table." in text

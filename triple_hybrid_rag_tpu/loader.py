@@ -145,6 +145,28 @@ class DocumentLoader:
             raw,
             flags=re.DOTALL | re.IGNORECASE,
         )
+
+        # <table> -> markdown so the chunker keeps tables atomic (reference semantics)
+        def table_md(m: re.Match) -> str:
+            rows = []
+            for tr in re.finditer(r"<tr[^>]*>(.*?)</tr>", m.group(0), re.DOTALL | re.IGNORECASE):
+                cells = [
+                    re.sub(r"\s+", " ", _TAG_RE.sub("", c)).strip()
+                    for c in re.findall(
+                        r"<t[hd][^>]*>(.*?)</t[hd]>", tr.group(1), re.DOTALL | re.IGNORECASE
+                    )
+                ]
+                if cells:
+                    rows.append(cells)
+            if not rows:
+                return " "
+            width = max(len(r) for r in rows)
+            rows = [r + [""] * (width - len(r)) for r in rows]
+            md = ["| " + " | ".join(rows[0]) + " |", "|" + "---|" * width]
+            md += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+            return "\n" + "\n".join(md) + "\n"
+
+        raw = re.sub(r"<table[^>]*>.*?</table>", table_md, raw, flags=re.DOTALL | re.IGNORECASE)
         raw = re.sub(r"<(p|div|br|li|tr)[^>]*>", "\n", raw, flags=re.IGNORECASE)
         text = _TAG_RE.sub(" ", raw)
         text = re.sub(r"[ \t]+", " ", text)
