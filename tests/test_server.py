@@ -106,3 +106,36 @@ def test_unknown_route(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/nope")
     assert e.value.code == 404
+
+
+def test_concurrent_queries(server):
+    """Threaded clients serialize through the engine lock without errors."""
+    import concurrent.futures
+
+    queries = ["invoice settlement", "foxes forest", "billing days", "northern forest"] * 3
+
+    def hit(q):
+        return _post(server + "/query", {"query": q, "top_k": 1})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(hit, queries))
+    assert all(status == 200 for status, _ in results)
+    assert all("results" in body for _, body in results)
+
+
+def test_query_with_collection_param(server):
+    status, body = _post(
+        server + "/ingest",
+        {"text": "Tenant Z special handling rules.", "name": "z.md"},
+    )
+    assert status == 200
+    # default collection scoping through the HTTP surface
+    status, body = _post(
+        server + "/query", {"query": "special handling rules", "collection": "default"}
+    )
+    assert status == 200 and body["results"]
+    status, body = _post(
+        server + "/query", {"query": "special handling rules", "collection": "nonexistent"}
+    )
+    assert status == 200
+    assert body["refused"] or body["results"] == []
