@@ -85,3 +85,24 @@ def test_engine_quality_matches_staged():
     assert m_engine["recall@10"] == pytest.approx(m_staged["recall@10"], abs=1e-9)
     assert m_engine["ndcg@10"] == pytest.approx(m_staged["ndcg@10"], abs=1e-9)
     assert m_staged["recall@10"] > 0.5
+
+
+def test_hard_negative_corpus_quality(small_config):
+    """Quality holds when distractors REUSE topic vocabulary (ranking stress)."""
+    from triple_hybrid_rag_tpu.eval import evaluate, make_eval_corpus
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+
+    cfg = RAGConfig(
+        capacity_round=64, embedding_dim=128, embedding_dim_full=256,
+        embedding_dtype="float32", safety_threshold=0.0, final_top_k=10,
+        rerank_top_k=20, denoise_alpha=0.0, graph_enabled=False,
+    )
+    data = make_eval_corpus(cfg, docs_per_topic=2, distractors=10, hard_negatives=3)
+    # hard negatives exist and are NOT labeled relevant
+    hard = [c for c in data.corpus.children if "Office Memo" in c.text]
+    assert hard
+    all_relevant = set().union(*(q.relevant_chunk_ids for q in data.queries))
+    assert not any(h.chunk_id in all_relevant for h in hard)
+    ret = Retriever(data.corpus, cfg)
+    m = evaluate(lambda q: ret.retrieve(q, top_k=10), data.queries, k=10)
+    assert m["recall@10"] > 0.5  # ranking survives lexical-overlap decoys

@@ -178,3 +178,22 @@ def test_engine_refresh_without_recompile(cfg):
     # config change -> refresh declines
     ret3 = Retriever(corpus, c.replace(final_top_k=4))
     assert eng.refresh(ret3) is False
+
+
+def test_multislice_mesh_layout(cfg):
+    """2 'slices' x 4 shards on the virtual mesh: slices fold into the data axis
+    (replica serving over DCN, shard merge stays intra-slice) and results match."""
+    from triple_hybrid_rag_tpu.parallel import multislice_mesh
+
+    corpus, _ = build_fixture(cfg, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    ret = Retriever(corpus, c)
+    m = multislice_mesh(n_slices=2, shards_per_slice=4)
+    assert m.shape == {"data": 2, "shard": 4}
+    eng = ShardedEngine(ret, m)
+    r = eng.retrieve_batch(["invoice payment settlement", "fox forest habitat"])
+    base = ShardedEngine(ret, corpus_mesh(n_shards=8)).retrieve_batch(
+        ["invoice payment settlement", "fox forest habitat"]
+    )
+    for a, b in zip(r, base):
+        assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]

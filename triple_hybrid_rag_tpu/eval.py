@@ -111,9 +111,15 @@ def make_eval_corpus(
     cfg: RAGConfig,
     docs_per_topic: int = 4,
     distractors: int = 30,
+    hard_negatives: int = 0,
 ) -> EvalCorpus:
     """Labeled corpus: per topic, documents whose chunks are relevant to that topic's
-    queries, plus distractor documents relevant to nothing."""
+    queries, plus distractor documents relevant to nothing.
+
+    ``hard_negatives`` adds per-topic confusable documents that REUSE topic vocabulary
+    in off-topic statements (e.g. payment words inside a memo about something else) —
+    they stress ranking rather than matching, the regime where fusion and reranking
+    must earn their keep."""
     store = CorpusStore()
     estore = EntityStore()
     chunker = HierarchicalChunker(cfg)
@@ -153,6 +159,21 @@ def make_eval_corpus(
             f"matters, routine errands, and schedule notes numbered {d}. "
             + " ".join(f"filler{d}w{i} note." for i in range(30)),
         )
+
+    # hard negatives: topic vocabulary sprinkled into off-topic documents (NOT labeled
+    # relevant) — lexical overlap without topical relevance
+    for t_idx, (name, keywords, _) in enumerate(_TOPICS):
+        kws = keywords.split()
+        for h in range(hard_negatives):
+            sprinkle = " ".join(
+                f"A passing mention of {kws[(h + i) % len(kws)]} in an unrelated memo."
+                for i in range(2)
+            )
+            ingest(
+                f"hardneg-{name}-{h}.md",
+                f"# Office Memo {name}-{h}\n\nStationery reorder minutes item {h}. "
+                f"{sprinkle} Remaining agenda covers parking assignments {h}.",
+            )
 
     queries: List[EvalQuery] = []
     paraphrases = {

@@ -6,7 +6,7 @@ index structure shards over a ``jax.sharding.Mesh``, per-shard top-k rides ICI t
 ``all_gather``, and a static merge selects global winners. One program, N chips.
 """
 
-from .mesh import corpus_mesh, single_device_mesh
+from .mesh import corpus_mesh, multislice_mesh, single_device_mesh
 from .engine import ShardedEngine
 
-__all__ = ["corpus_mesh", "single_device_mesh", "ShardedEngine"]
+__all__ = ["corpus_mesh", "multislice_mesh", "single_device_mesh", "ShardedEngine"]

@@ -37,6 +37,28 @@ def corpus_mesh(
     return Mesh(grid, ("data", "shard"))
 
 
+def multislice_mesh(
+    n_slices: int,
+    shards_per_slice: int,
+    data_per_slice: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice production layout: corpus shards stay INSIDE a slice (the
+    all_gather top-k merge rides ICI), and slices fold into the ``data`` axis as
+    corpus replicas serving disjoint query batches — so the only cross-slice (DCN)
+    traffic is batch scatter/gather, never per-query collectives. This is the
+    SURVEY.md §2.6 'DCN across slices' contract: replicate over DCN, shard over ICI.
+
+    Device order must enumerate slice-by-slice (JAX's default for multislice jobs).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_slices * data_per_slice * shards_per_slice
+    if need > len(devices):
+        raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_slices * data_per_slice, shards_per_slice)
+    return Mesh(grid, ("data", "shard"))
+
+
 def single_device_mesh(device: Optional[jax.Device] = None) -> Mesh:
     """1x1 mesh: the sharded engine degenerates cleanly to single-chip execution."""
     device = device or jax.devices()[0]
