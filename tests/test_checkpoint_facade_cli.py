@@ -156,3 +156,36 @@ def test_facade_engine_mode_with_mutation(cfg, docs_dir):
     rag.ingest_text("Tenant X special payment rules.", name="x.md", collection="x")
     out = rag.query_batch(["payment rules", "payment rules"], collections=["x", None])
     assert all("Tenant X" in r.text for r in out[0].results)
+
+
+def test_cli_migrate_retruncate_and_reembed(cfg, docs_dir, tmp_path, capsys, monkeypatch):
+    """thr migrate: backfill analogue (reference scripts/backfill_rag2.py)."""
+    import triple_hybrid_rag_tpu.config as config_mod
+
+    monkeypatch.setattr(config_mod, "_SETTINGS", cfg)
+    src = str(tmp_path / "mig_src")
+    dst = str(tmp_path / "mig_dst")
+    cli_main(["ingest", str(docs_dir), "--index", src])
+    capsys.readouterr()
+
+    new_dim = cfg.embedding_dim // 2
+    rc = cli_main(["migrate", src, dst, "--dim", str(new_dim), "--json"])
+    summary = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert summary["embedding_dim"] == new_dim and summary["children"] > 0
+    assert not summary["reembedded"]
+
+    # migrated checkpoint loads under the new config and still answers queries
+    mig = load_ingestor(dst)
+    assert mig.config.embedding_dim == new_dim
+    result = mig.make_retriever().retrieve("invoice settlement", top_k=2)
+    assert result.results and not result.refused
+
+    # full re-embed path (new dtype too) stays query-equivalent for hash embedders
+    dst2 = str(tmp_path / "mig_dst2")
+    rc = cli_main(["migrate", src, dst2, "--dtype", "int8", "--reembed", "--json"])
+    summary2 = json.loads(capsys.readouterr().out)
+    assert rc == 0 and summary2["reembedded"] and summary2["embedding_dtype"] == "int8"
+    mig2 = load_ingestor(dst2)
+    r2 = mig2.make_retriever().retrieve("invoice settlement", top_k=2)
+    assert r2.results and r2.results[0].chunk_id == result.results[0].chunk_id

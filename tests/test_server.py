@@ -139,3 +139,46 @@ def test_query_with_collection_param(server):
     )
     assert status == 200
     assert body["refused"] or body["results"] == []
+
+
+def test_rerank_endpoint(server):
+    """Standalone rerank microservice: vLLM /rerank response-shape parity."""
+    docs = [
+        "Stationery reorder minutes and parking assignments.",
+        "Invoices settle within thirty days of billing.",
+        "Red foxes inhabit the northern forest.",
+    ]
+    status, body = _post(
+        server + "/rerank", {"query": "invoice settlement billing", "documents": docs}
+    )
+    assert status == 200
+    results = body["results"]
+    assert len(results) == 3
+    assert {r["index"] for r in results} == {0, 1, 2}
+    scores = [r["relevance_score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert results[0]["index"] == 1  # the invoice doc wins
+    # MaxSim must be the active scorer (FailSoftEmbedder unwrap regression)
+    assert body["scorer"] == "maxsim"
+
+    # top_n truncation
+    status, body = _post(
+        server + "/rerank",
+        {"query": "invoice settlement billing", "documents": docs, "top_n": 1},
+    )
+    assert status == 200 and len(body["results"]) == 1
+    assert body["results"][0]["index"] == 1
+
+
+def test_rerank_validation(server):
+    status, body = _post(server + "/rerank", {"documents": ["a"]})
+    assert status == 400 and "query" in body["error"]
+    status, body = _post(server + "/rerank", {"query": "x"})
+    assert status == 400 and "documents" in body["error"]
+    status, body = _post(server + "/rerank", {"query": "x", "documents": []})
+    assert status == 400
+    status, body = _post(server + "/rerank", {"query": "x", "documents": ["a", 3]})
+    assert status == 400
+    status, body = _post(server + "/rerank", {"query": "x", "documents": ["a"], "top_n": 0})
+    assert status == 400 and "top_n" in body["error"]

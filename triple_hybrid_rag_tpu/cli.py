@@ -162,6 +162,48 @@ def cmd_eval(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_migrate(args: argparse.Namespace) -> int:
+    """Backfill/migration: checkpoint -> (new config, optional re-embed) -> checkpoint.
+
+    Parity with the reference's ``scripts/backfill_rag2.py`` (1.0 -> 2.0 migration with
+    re-embedding, backfill_rag2.py:1-20): loads a saved index, optionally re-derives the
+    device indexes under new dims/dtype from the stored full-dim embeddings (cheap), or
+    re-embeds every stored chunk text with the new config's embedder (``--reembed``,
+    the full backfill), then writes a fresh verified checkpoint."""
+    from .index.checkpoint import load_ingestor, save_ingestor
+
+    ing = load_ingestor(args.src)
+    overrides = {}
+    if args.dim is not None:
+        overrides["embedding_dim"] = args.dim
+    if args.dim_full is not None:
+        overrides["embedding_dim_full"] = args.dim_full
+    if args.dtype is not None:
+        overrides["embedding_dtype"] = args.dtype
+    if overrides:
+        ing = load_ingestor(args.src, config=ing.config.replace(**overrides))
+    n = len(ing.corpus)
+    if args.reembed and n:
+        texts = [c.text for c in ing.corpus.children]
+        vectors = ing.embedder.embed_texts(texts)
+        ing.embeddings = {
+            c.chunk_id: vectors[c.row] for c in ing.corpus.children
+        }
+    out = save_ingestor(ing, args.dst)
+    summary = {
+        "src": str(args.src), "dst": str(out), "children": n,
+        "parents": len(ing.corpus.parents),
+        "embedding_dim": ing.config.embedding_dim,
+        "embedding_dtype": ing.config.embedding_dtype,
+        "reembedded": bool(args.reembed and n),
+    }
+    print(json.dumps(summary) if args.json else
+          f"migrated {n} chunks {args.src} -> {args.dst} "
+          f"(dim={ing.config.embedding_dim}, dtype={ing.config.embedding_dtype}"
+          f"{', re-embedded' if summary['reembedded'] else ''})")
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from .facade import RAG
     from .server import serve
@@ -218,6 +260,19 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
+    p = sub.add_parser(
+        "migrate", help="backfill/migrate a checkpoint (new dims/dtype, --reembed)"
+    )
+    p.add_argument("src", help="source checkpoint directory")
+    p.add_argument("dst", help="destination checkpoint directory")
+    p.add_argument("--dim", type=int, default=None, help="new embedding_dim (Matryoshka)")
+    p.add_argument("--dim-full", type=int, default=None, help="new embedding_dim_full")
+    p.add_argument("--dtype", default=None, choices=["bfloat16", "float32", "int8"])
+    p.add_argument("--reembed", action="store_true",
+                   help="re-embed every chunk text (full backfill, not re-truncation)")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_migrate)
+
     p = sub.add_parser("serve", help="HTTP serving host (/query /ingest /metrics)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400)
@@ -227,7 +282,15 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except Exception as e:  # checkpoint/IO errors surface as one line, not a traceback
+        from .index.checkpoint import CheckpointError
+
+        if isinstance(e, (CheckpointError, FileNotFoundError)):
+            print(f"thr {args.command}: error: {e}", file=sys.stderr)
+            return 2
+        raise
 
 
 if __name__ == "__main__":

@@ -7,6 +7,8 @@ this dependency-free stdlib server exposing the retrieval engine:
 
     POST /query    {"query": str, "top_k"?: int}          -> RetrievalResult JSON
     POST /ingest   {"text": str, "name"?: str} | {"path": str}
+    POST /rerank   {"query": str, "documents": [str], "top_n"?: int}
+                   -> {"results": [{"index", "relevance_score"}]} (vLLM /rerank shape)
     GET  /metrics  Prometheus text exposition (reference rag_metrics /metrics parity)
     GET  /healthz  liveness + corpus stats
     GET  /stats    corpus + graph stats
@@ -23,6 +25,8 @@ from __future__ import annotations
 import json
 import threading
 import time
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
@@ -134,6 +138,71 @@ class RAGServer:
             "error": res.error,
         }
 
+    def handle_rerank(self, payload: dict) -> dict:
+        """Standalone rerank microservice: score (query, documents) pairs.
+
+        Parity with the reference control plane's ``POST /rag/rerank`` endpoint
+        (backend/src/control_plane/api/routers/rag.py:19-60) and the vLLM-native
+        ``/rerank`` response shape its reranker consumes
+        (retrieval/reranker.py:107-150): ``{"results": [{"index", "relevance_score"}]}``
+        sorted by score descending. Scoring is MaxSim late interaction on the MXU when
+        the embedder exposes token embeddings, pooled cosine otherwise — no external
+        cross-encoder service exists here by design."""
+        query = payload.get("query", "")
+        docs = payload.get("documents")
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("missing 'query'")
+        if (
+            not isinstance(docs, list)
+            or not docs
+            or not all(isinstance(d, str) for d in docs)
+        ):
+            raise ValueError("missing 'documents' (non-empty list of strings)")
+        top_n = payload.get("top_n")
+        if top_n is not None and (not isinstance(top_n, int) or top_n < 1):
+            raise ValueError("'top_n' must be a positive integer")
+        # unwrap FailSoftEmbedder: token_embeddings lives on the inner embedder
+        emb = self.rag.ingestor.embedder
+        emb = getattr(emb, "inner", emb)
+        with self._lock, rag_metrics.time("server_rerank_ms"):
+            if hasattr(emb, "token_embeddings"):
+                import jax.numpy as jnp
+
+                from .ops.maxsim import maxsim_scores
+
+                cfg = self.rag.config
+                dt = np.asarray(emb.token_embeddings(docs, max_tokens=cfg.maxsim_doc_tokens))
+                qt = np.asarray(
+                    emb.token_embeddings([query], max_tokens=cfg.maxsim_query_tokens)
+                )[0]
+                dmask = np.linalg.norm(dt, axis=-1) > 0
+                qmask = np.linalg.norm(qt, axis=-1) > 0
+                scores = np.asarray(
+                    maxsim_scores(
+                        jnp.asarray(dt),
+                        jnp.asarray(dmask),
+                        jnp.asarray(qt),
+                        jnp.asarray(qmask),
+                        jnp.ones(len(docs), bool),
+                    )
+                )
+                scorer = "maxsim"
+            else:
+                dv = np.asarray(emb.embed_texts(docs), np.float32)
+                qv = np.asarray(emb.embed_query(query), np.float32)
+                scores = np.clip(dv @ qv, 0.0, 1.0)
+                scorer = "cosine"
+        rag_metrics.counter("server_reranks_total").inc()
+        order = np.argsort(-scores, kind="stable")
+        if top_n is not None:
+            order = order[:top_n]
+        return {
+            "results": [
+                {"index": int(i), "relevance_score": float(scores[i])} for i in order
+            ],
+            "scorer": scorer,
+        }
+
     def handle_stats(self) -> dict:
         return self.rag.stats()
 
@@ -187,6 +256,8 @@ def make_handler(server_state: RAGServer):
                     self._send(200, server_state.handle_query(payload))
                 elif self.path == "/ingest":
                     self._send(200, server_state.handle_ingest(payload))
+                elif self.path == "/rerank":
+                    self._send(200, server_state.handle_rerank(payload))
                 else:
                     self._send(404, {"error": "not found"})
             except ValueError as e:
