@@ -152,7 +152,9 @@ def cmd_eval(args: argparse.Namespace) -> int:
     """Quality ladder over the five BASELINE configs (run_harness.py analogue)."""
     from .eval import evaluate_baseline_configs
 
-    results = evaluate_baseline_configs(k=args.k)
+    results = evaluate_baseline_configs(
+        k=args.k, distractors=args.distractors, hard_negatives=args.hard_negatives
+    )
     if args.json:
         print(json.dumps(results))
         return 0
@@ -257,6 +259,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("eval", help="retrieval-quality ladder (recall@k / NDCG@k)")
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--distractors", type=int, default=30)
+    p.add_argument("--hard-negatives", type=int, default=0,
+                   help="per-topic confusables reusing topic vocabulary (ranking stress)")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_eval)
 

@@ -230,7 +230,10 @@ def evaluate(
 
 
 def evaluate_baseline_configs(
-    base_cfg: Optional[RAGConfig] = None, k: int = 10
+    base_cfg: Optional[RAGConfig] = None,
+    k: int = 10,
+    distractors: int = 30,
+    hard_negatives: int = 0,
 ) -> Dict[str, Dict[str, float]]:
     """Run the five BASELINE.json configurations over the labeled corpus."""
     base = base_cfg or RAGConfig(
@@ -243,7 +246,7 @@ def evaluate_baseline_configs(
         rerank_top_k=max(2 * k, 20),
         denoise_alpha=0.0,
     )
-    data = make_eval_corpus(base)
+    data = make_eval_corpus(base, distractors=distractors, hard_negatives=hard_negatives)
     gidx_cfg = base
     results: Dict[str, Dict[str, float]] = {}
 
