@@ -197,3 +197,12 @@ def test_multislice_mesh_layout(cfg):
     )
     for a, b in zip(r, base):
         assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
+    # data_per_slice: 2 slices x (2 data x 2 shards) -> data=4, shard=2; the
+    # deterministic merge keeps results identical across every mesh fold
+    m2 = multislice_mesh(n_slices=2, shards_per_slice=2, data_per_slice=2)
+    assert m2.shape == {"data": 4, "shard": 2}
+    r2 = ShardedEngine(ret, m2).retrieve_batch(
+        ["invoice payment settlement", "fox forest habitat"]
+    )
+    for a, b in zip(r2, base):
+        assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
