@@ -139,7 +139,10 @@ def build_synthetic(cfg: RAGConfig):
         k = jax.random.fold_in(key, 9000 + i)
         t = jax.random.normal(k, (min(bs // 4, p_pad - i), td, dm), jnp.float32)
         t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
-        tok_blocks.append(t.astype(jnp.bfloat16))
+        if DTYPE == "int8":  # int8 token store: 4x smaller rerank HBM (static x127 scale)
+            tok_blocks.append(jnp.clip(jnp.round(t * 127.0), -127, 127).astype(jnp.int8))
+        else:
+            tok_blocks.append(t.astype(jnp.bfloat16))
     mx = MaxSimIndex(
         tokens=jnp.concatenate(tok_blocks),
         mask=jnp.ones((p_pad, td), bool).at[n_parents:].set(False),
@@ -194,8 +197,12 @@ def main():
         q_rows = q_rows.astype(jnp.float32) * q_scales[:, None]
     q_vecs = np.asarray(q_rows).astype(np.float32)
     p_rows = rows // 5
+    from triple_hybrid_rag_tpu.ops.maxsim import dequantize_tokens
+
     q_toks = np.asarray(
-        jnp.take(engine.maxsim_tokens[:, : cfg.maxsim_query_tokens], jnp.asarray(p_rows), axis=0)
+        dequantize_tokens(
+            jnp.take(engine.maxsim_tokens[:, : cfg.maxsim_query_tokens], jnp.asarray(p_rows), axis=0)
+        )
     ).astype(np.float32)
     q_tok_mask = np.ones((n_rows, cfg.maxsim_query_tokens), bool)
 

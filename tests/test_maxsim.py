@@ -134,3 +134,41 @@ def test_sharded_engine_with_maxsim(small_config):
         [x.final_score for x in r_eng.results],
         atol=2e-2,
     )
+
+
+def test_int8_token_store_matches_float(small_config):
+    """int8 token storage (static x127 scale): 4x smaller, scores within 2%."""
+    texts = [
+        "payment invoice settlement schedule",
+        "fox forest wildlife habitat",
+        "contract termination notice period",
+    ]
+    cfg_f = small_config.replace(embedding_dtype="float32")
+    cfg_q = small_config.replace(embedding_dtype="int8")
+    emb = BowHashEmbedder(dim=64, config=cfg_f)
+    idx_f = build_maxsim_index(texts, emb, cfg_f)
+    idx_q = build_maxsim_index(texts, emb, cfg_q)
+    assert idx_q.tokens.dtype == jnp.int8
+    assert idx_q.tokens.nbytes * 4 == idx_f.tokens.nbytes
+
+    q = emb.token_embeddings(["invoice payment"], max_tokens=cfg_f.maxsim_query_tokens)[0]
+    q_mask = np.any(q != 0, axis=-1)
+    ids = jnp.asarray(np.array([0, 1, 2], np.int32))
+    s_f = np.asarray(idx_f.score_candidates(ids, jnp.asarray(q), jnp.asarray(q_mask)))
+    s_q = np.asarray(idx_q.score_candidates(ids, jnp.asarray(q), jnp.asarray(q_mask)))
+    np.testing.assert_allclose(s_q, s_f, atol=0.02)
+    assert list(np.argsort(-s_q)) == list(np.argsort(-s_f))
+
+    # append re-quantizes float rows into the int8 store
+    extra = emb.token_embeddings(
+        ["invoice settlement payment follow-up"], max_tokens=cfg_q.maxsim_doc_tokens,
+        dim=cfg_q.maxsim_dim,
+    )
+    idx_q2 = idx_q.append(extra)
+    assert idx_q2.tokens.dtype == jnp.int8 and idx_q2.n_parents == 4
+    s2 = np.asarray(
+        idx_q2.score_candidates(
+            jnp.asarray(np.array([3], np.int32)), jnp.asarray(q), jnp.asarray(q_mask)
+        )
+    )
+    assert s2[0] > 0.9  # exact token matches survive quantization

@@ -2,8 +2,10 @@
 
 The storage the reference lacks ("no token-level embedding storage exists" — SURVEY.md
 §5.7), enabling true late-interaction reranking. Token embeddings live in HBM as a
-``[P_pad, T_doc, D]`` bf16 block; the rerank stage gathers only its <= 50 candidates, so
-the gather cost is trivial while the store itself streams once at build time.
+``[P_pad, T_doc, D]`` block — bf16 by default, int8 under ``embedding_dtype="int8"``
+(unit-vector components quantize with a static x127 scale, 4x smaller than f32; scoring
+dequantizes transparently in ``ops/maxsim``). The rerank stage gathers only its <= 50
+candidates, so the gather cost is trivial while the store streams once at build time.
 """
 
 from __future__ import annotations
@@ -44,6 +46,8 @@ class MaxSimIndex:
         d_avail = min(d, new_tokens.shape[2])
         rows[:, :t_avail, :d_avail] = new_tokens[:, :t_avail, :d_avail]
         row_mask = np.any(rows != 0, axis=-1)
+        if toks.dtype == jnp.int8:
+            rows = _pack_tokens(rows, "int8")
         toks = jax.lax.dynamic_update_slice(
             toks, jnp.asarray(rows, dtype=toks.dtype), (self.n_parents, 0, 0)
         )
@@ -84,10 +88,21 @@ def build_maxsim_index(
         toks[i : i + len(batch), :t_avail, :d_avail] = emb[:, :t_avail, :d_avail]
         mask[i : i + len(batch), :t_avail] = np.any(emb[:, :t_avail] != 0, axis=-1)
 
-    dtype = jnp.bfloat16 if config.embedding_dtype == "bfloat16" else jnp.float32
     return MaxSimIndex(
-        tokens=jnp.asarray(toks, dtype=dtype),
+        tokens=jnp.asarray(_pack_tokens(toks, config.embedding_dtype)),
         mask=jnp.asarray(mask),
         n_parents=n,
         config=config,
     )
+
+
+def _pack_tokens(toks: np.ndarray, embedding_dtype: str) -> np.ndarray:
+    """float token rows -> storage dtype. int8 uses the static unit-vector scale
+    (ops/maxsim.INT8_TOKEN_SCALE); scoring dequantizes transparently."""
+    if embedding_dtype == "int8":
+        from ..ops.maxsim import INT8_TOKEN_SCALE
+
+        return np.clip(np.round(toks * INT8_TOKEN_SCALE), -127, 127).astype(np.int8)
+    if embedding_dtype == "bfloat16":
+        return np.asarray(jnp.asarray(toks, dtype=jnp.bfloat16))
+    return toks.astype(np.float32)

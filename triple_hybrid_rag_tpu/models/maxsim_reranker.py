@@ -28,13 +28,14 @@ class MaxSimReranker:
             # degradation rung: no token-level query context -> normalized fused order
             return minmax_normalize(ids, fused_scores)
         if self.config.use_pallas and jax.devices()[0].platform != "cpu":
+            from ..ops.maxsim import dequantize_tokens
             from ..ops.pallas import maxsim_scores_pallas
             import jax.numpy as jnp
 
             p_pad = self.index.tokens.shape[0]
             safe = jnp.clip(ids, 0, p_pad - 1)
             return maxsim_scores_pallas(
-                self.index.tokens[safe].astype(jnp.float32),
+                dequantize_tokens(self.index.tokens[safe]).astype(jnp.float32),
                 self.index.mask[safe], q_tokens, q_mask, ids >= 0,
             )
         return self.index.score_candidates(ids, q_tokens, q_mask)

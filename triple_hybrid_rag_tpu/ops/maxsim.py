@@ -26,6 +26,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# int8 token stores hold round(x * 127) of unit-vector components (|x| <= 1, so the
+# symmetric scale is static — no per-row scale array needed, unlike the dense index)
+INT8_TOKEN_SCALE = 127.0
+
+
+def dequantize_tokens(tokens: jax.Array) -> jax.Array:
+    """int8 token rows -> bf16 unit-ish vectors; pass-through for float dtypes."""
+    if tokens.dtype == jnp.int8:
+        return tokens.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / INT8_TOKEN_SCALE)
+    return tokens
+
 
 @jax.jit
 def maxsim_scores(
@@ -39,7 +50,7 @@ def maxsim_scores(
     # sim[k, t_d, t_q] on the MXU, f32 accumulation
     sim = jnp.einsum(
         "ktd,qd->ktq",
-        doc_tokens.astype(jnp.bfloat16),
+        dequantize_tokens(doc_tokens).astype(jnp.bfloat16),
         q_tokens.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
