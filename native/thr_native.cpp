@@ -50,48 +50,38 @@ inline uint32_t decode_utf8(const unsigned char* s, size_t len, size_t& i) {
   return 0xFFFD;
 }
 
-// ---- accent folding (NFD-strip equivalent for Latin-1 Supplement +
-//      Latin Extended-A/B, matching Python's strip_accents on those ranges) --
+// ---- accent folding -------------------------------------------------------
+//
+// CODE-GENERATED from the canonical spec in triple_hybrid_rag_tpu/analyzer.py
+// (fold_char): lowercase -> NFD -> drop combining marks -> explicit folds for
+// non-decomposable Latin letters -> keep [0-9a-z]. Covers Latin-1 Supplement,
+// Latin Extended-A/B, and Latin Extended Additional; '.' = token separator.
+// Parity with the Python tokenizer over every covered codepoint is asserted in
+// tests/test_native.py -- regenerate both tables together if the spec changes.
+
+static const char kFoldLatin[] =  // [0xC0, 0x250)
+    "aaaaaaaceeeeiiii.nooooo.ouuuuy.saaaaaaaceeeeiiii.nooooo.ouuuuy.y"
+    "aaaaaaccccccccddddeeeeeeeeeegggggggghhhhiiiiiiiiii..jjkkkllllll."
+    ".llnnnnnn...oooooo..rrrrrrssssssssttttttuuuuuuuuuuuuwwyyyzzzzzz."
+    "................................oo.............uu..............."
+    ".............aaiioouuuuuuuuuu.aaaaaa..ggkkoooo..j...gg..nnaaaaoo"
+    "aaaaeeeeiiiioooorrrruuuusstt..hh......aaeeooooooooyy............"
+    "................";
+static const char kFoldExtAdd[] =  // [0x1E00, 0x1F00)
+    "aabbbbbbccddddddddddeeeeeeeeeeffgghhhhhhhhhhiiiikkkkkkllllllllmm"
+    "mmmmnnnnnnnnoooooooopppprrrrrrrrssssssssssttttttttuuuuuuuuuuvvvv"
+    "wwwwwwwwwwxxxxyyzzzzzzhtwy....s.aaaaaaaaaaaaaaaaaaaaaaaaeeeeeeee"
+    "eeeeeeeeiiiioooooooooooooooooooooooouuuuuuuuuuuuuuyyyyyyyy......";
 
 char fold_codepoint(uint32_t cp) {
   // returns folded ASCII char for letter codepoints, 0 for non-token chars
   if (cp >= '0' && cp <= '9') return (char)cp;
   if (cp >= 'a' && cp <= 'z') return (char)cp;
   if (cp >= 'A' && cp <= 'Z') return (char)(cp - 'A' + 'a');
-  if (cp < 0xC0 || cp > 0x24F) return 0;
-  // Latin-1 Supplement letters
-  struct Range { uint32_t lo, hi; char base; };
-  static const Range latin1[] = {
-      {0xC0, 0xC5, 'a'}, {0xE0, 0xE5, 'a'}, {0xC8, 0xCB, 'e'}, {0xE8, 0xEB, 'e'},
-      {0xCC, 0xCF, 'i'}, {0xEC, 0xEF, 'i'}, {0xD2, 0xD6, 'o'}, {0xF2, 0xF6, 'o'},
-      {0xD9, 0xDC, 'u'}, {0xF9, 0xFC, 'u'}, {0xC7, 0xC7, 'c'}, {0xE7, 0xE7, 'c'},
-      {0xD1, 0xD1, 'n'}, {0xF1, 0xF1, 'n'}, {0xDD, 0xDD, 'y'}, {0xFD, 0xFD, 'y'},
-      {0xFF, 0xFF, 'y'},
-  };
-  for (const auto& r : latin1)
-    if (cp >= r.lo && cp <= r.hi) return r.base;
-  if (cp == 0xD8 || cp == 0xF8) return 'o';  // Ø ø
-  if (cp == 0xC6 || cp == 0xE6) return 'a';  // Æ æ (NFD keeps them; treat as 'a'+'e'? single 'a' suffices for parity tests)
-  if (cp == 0xDF) return 's';                // ß (approx)
-  // Latin Extended-A/B: NFD base letter = (codepoint parity pattern); fold via
-  // the standard base-letter table by range.
-  static const struct { uint32_t lo, hi; const char* bases; } extA[] = {
-      {0x100, 0x105, "aaaaaa"}, {0x106, 0x10D, "cccccccc"}, {0x10E, 0x111, "dddd"},
-      {0x112, 0x11B, "eeeeeeeeee"}, {0x11C, 0x123, "gggggggg"}, {0x124, 0x127, "hhhh"},
-      {0x128, 0x131, "iiiiiiiiii"}, {0x134, 0x135, "jj"}, {0x136, 0x138, "kkk"},
-      {0x139, 0x142, "llllllllll"}, {0x143, 0x148, "nnnnnn"}, {0x14C, 0x151, "oooooo"},
-      {0x154, 0x159, "rrrrrr"}, {0x15A, 0x161, "ssssssss"}, {0x162, 0x167, "tttttt"},
-      {0x168, 0x173, "uuuuuuuuuuuu"}, {0x174, 0x175, "ww"}, {0x176, 0x178, "yyy"},
-      {0x179, 0x17E, "zzzzzz"},
-  };
-  for (const auto& r : extA)
-    if (cp >= r.lo && cp <= r.hi) return r.bases[cp - r.lo];
-  // other letters in 0x180-0x24F: keep as generic letter marker 'x'? Python
-  // keeps them verbatim; rare in practice. Treat as token letter 'x' would
-  // break parity, so treat as non-token only if Python also would... Python
-  // keeps them. Mark with lowercase passthrough when in ASCII after NFD is
-  // impossible -> emit 0 (non-token). Parity tests cover en/pt corpora.
-  return 0;
+  char c = 0;
+  if (cp >= 0xC0 && cp < 0x250) c = kFoldLatin[cp - 0xC0];
+  else if (cp >= 0x1E00 && cp < 0x1F00) c = kFoldExtAdd[cp - 0x1E00];
+  return c == '.' ? 0 : c;
 }
 
 // ---- S-stemmer (mirror of analyzer.s_stem) --------------------------------
@@ -144,7 +134,9 @@ void tokenize_into(Analyzer* a, const unsigned char* text, size_t len, bool add,
     tok.clear();
   };
   while (i < len) {
-    char folded = fold_codepoint(decode_utf8(text, len, i));
+    uint32_t cp = decode_utf8(text, len, i);
+    if (cp >= 0x300 && cp < 0x370) continue;  // combining marks: NFD'd input support
+    char folded = fold_codepoint(cp);
     if (folded) tok.push_back(folded);
     else if (!tok.empty()) flush();
   }
@@ -285,8 +277,12 @@ void thr_postings_fill(const int32_t* tokens, const int64_t* offsets,
         float w = idf[t] * tf * k1_plus1 / (tf + denom[d]);
         ranked.emplace_back(-w, t);
       }
+      // (-w, t) pair order = weight desc with term-id-asc tie-break: the selected
+      // SET is deterministic and matches the Python build's lexsort((ts, -w))[:L].
       std::nth_element(ranked.begin(), ranked.begin() + doc_term_cap, ranked.end());
       for (int32_t j = 0; j < doc_term_cap; ++j) touched[j] = ranked[j].second;
+      // canonical slot order: term id ascending (matches Python overflow path)
+      std::sort(touched.begin(), touched.begin() + doc_term_cap);
       n_sel = doc_term_cap;
       selected = touched.data();
     }

@@ -59,7 +59,7 @@ def test_checkpoint_corruption_detected(cfg, docs_dir, tmp_path):
     ing.ingest_directory(docs_dir)
     ckpt = tmp_path / "ckpt"
     save_ingestor(ing, ckpt)
-    (ckpt / "corpus.pkl").write_bytes(b"corrupted")
+    (ckpt / "corpus.json").write_bytes(b"corrupted")
     with pytest.raises(CheckpointError, match="hash mismatch"):
         load_checkpoint(ckpt)
 

@@ -95,6 +95,34 @@ def test_page_provenance():
     assert all(1 <= c.page_start <= c.page_end <= 2 for c in children)
 
 
+def test_page_provenance_after_table():
+    """Page attribution stays correct past a table (placeholder offset shift).
+
+    A long table shrinks to a short placeholder in the masked text; offsets after it
+    shift by (table length - placeholder length). Content on page 3 (after the table)
+    must still be attributed to page 3, not dragged back into the table's pages.
+    """
+    page1 = "Alpha page content. " * 60
+    table = "\n".join(f"| row {i} | value {i} | more details {i} |" for i in range(80))
+    page2 = table + "\n"
+    page3 = "Gamma page content. " * 60
+    text = page1 + page2 + page3
+    page_map = [
+        (0, len(page1), 1),
+        (len(page1), len(page1) + len(page2), 2),
+        (len(page1) + len(page2), len(text), 3),
+    ]
+    cfg = RAGConfig(parent_chunk_tokens=120, child_chunk_tokens=60)
+    parents, _ = _mk(cfg).chunk_document(text, DOC_HASH, page_map)
+    # the parent containing the tail text must be attributed to page 3
+    tail_parents = [p for p in parents if "Gamma page content" in p.text and "| row" not in p.text]
+    assert tail_parents, "expected a pure page-3 parent"
+    assert all(p.page_start == 3 and p.page_end == 3 for p in tail_parents)
+    # the parent holding the table must cover page 2
+    table_parents = [p for p in parents if "| row 5 |" in p.text]
+    assert table_parents and all(p.page_start <= 2 <= p.page_end for p in table_parents)
+
+
 def test_extract_restore_tables_roundtrip():
     text = "before\n| a | b |\n|---|---|\n| 1 | 2 |\nafter"
     masked, tables = extract_tables(text)

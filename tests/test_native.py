@@ -65,12 +65,14 @@ def test_index_build_parity(df_cap):
     np.testing.assert_allclose(np.asarray(idx_native.idf), np.asarray(idx_python.idf))
     assert idx_native.l_max == idx_python.l_max
     assert idx_native.overflow_docs == idx_python.overflow_docs
-    # term-table: same (id, weight) SETS per row (slot order may differ)
-    ni, nw = np.asarray(idx_native.term_ids), np.asarray(idx_native.term_weights)
-    pi, pw = np.asarray(idx_python.term_ids), np.asarray(idx_python.term_weights)
-    for d in range(len(CORPUS)):
-        assert sorted(ni[d][ni[d] >= 0]) == sorted(pi[d][pi[d] >= 0]), d
-        np.testing.assert_allclose(np.sort(nw[d]), np.sort(pw[d]), rtol=1e-6)
+    # term-table: identical arrays — non-overflow rows share first-occurrence slot
+    # order, overflow rows are canonicalized to term-id-ascending in both paths
+    np.testing.assert_array_equal(
+        np.asarray(idx_native.term_ids), np.asarray(idx_python.term_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(idx_native.term_weights), np.asarray(idx_python.term_weights), rtol=1e-6
+    )
 
 
 def test_search_parity():
@@ -104,6 +106,33 @@ def test_overflow_top_weight_selection():
     nat_terms = {nat.vocab.term(t) for t in ni[ni >= 0]}
     py_terms = {py.vocab.term(t) for t in pi[pi >= 0]}
     assert nat_terms == py_terms
+
+
+def test_fold_parity_all_covered_codepoints():
+    """Native fold tables are code-generated from analyzer.fold_char; sweep every
+    covered codepoint (plus combining marks and a sample of out-of-range chars) so
+    an index built by either tokenizer is queryable by the other (ADVICE round 1:
+    ß/æ/Extended-B divergence made native-built vocabs OOV for Python queries)."""
+    import unicodedata
+
+    from triple_hybrid_rag_tpu.analyzer import COMBINING_RANGE, FOLD_RANGES
+
+    cfg = RAGConfig(analyzer_stemming="none", analyzer_min_token_len=2)
+    py = Analyzer(cfg)
+    na = native.NativeAnalyzer(cfg)
+    cps = [cp for lo, hi in FOLD_RANGES for cp in range(lo, hi)]
+    cps += list(range(*COMBINING_RANGE))
+    cps += [0x3B1, 0x410, 0x4E2D, 0x1F600]  # Greek, Cyrillic, CJK, emoji: separators
+    # embed each codepoint mid-token: fold differences change the token string
+    texts = [f"qz{chr(cp)}qz" for cp in cps]
+    # also NFD'd forms of precomposed chars (combining-mark skip path)
+    texts += [f"qz{unicodedata.normalize('NFD', chr(cp))}qz" for cp in range(0xC0, 0x100)]
+    native_lists = na.token_lists(texts)
+    terms = na.vocab_terms()
+    for text, ids in zip(texts, native_lists):
+        assert [terms[t] for t in ids] == py.tokenize(text), (
+            f"codepoint U+{ord(text[2]):04X} diverged"
+        )
 
 
 def test_empty_and_edge_inputs():

@@ -77,6 +77,40 @@ def test_ingest_endpoint_then_query(server):
     assert any("Quantum" in r["text"] for r in body["results"])
 
 
+def test_ingest_path_disabled_by_default(server, tmp_path):
+    doc = tmp_path / "secret.md"
+    doc.write_text("# Secret\n\nDo not index me over the wire.")
+    status, body = _post(server + "/ingest", {"path": str(doc)})
+    assert status == 400
+    assert "disabled" in body["error"]
+
+
+def test_ingest_path_allowlisted_root(cfg, tmp_path):
+    root = tmp_path / "docs"
+    root.mkdir()
+    (root / "ok.md").write_text("# Shipping\n\nParcels arrive within five days.")
+    outside = tmp_path / "outside.md"
+    outside.write_text("# Outside\n\nNot under the allowed root.")
+    rag = RAG(config=cfg)
+    rag.ingest_text("seed corpus text for prewarm", name="seed.md")
+    httpd = serve(host="127.0.0.1", port=0, rag=rag, ingest_root=str(root))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, body = _post(base + "/ingest", {"path": str(root / "ok.md")})
+        assert status == 200 and body["children"] >= 1
+        status, body = _post(base + "/ingest", {"path": str(outside)})
+        assert status == 400 and "outside" in body["error"].lower()
+        # traversal out of the root is caught after resolution
+        status, body = _post(
+            base + "/ingest", {"path": str(root / ".." / "outside.md")}
+        )
+        assert status == 400
+    finally:
+        httpd.shutdown()
+
+
 def test_ingest_validation(server):
     status, body = _post(server + "/ingest", {})
     assert status == 400

@@ -39,11 +39,60 @@ _PT_STOPWORDS = frozenset(
 )
 
 _TOKEN_RE = re.compile(r"[0-9a-zA-ZÀ-ɏ]+")
+_ASCII_TOKEN_RE = re.compile(r"[0-9a-z]+")
 
 
 def strip_accents(text: str) -> str:
     """NFD-decompose and drop combining marks (host-side; matches pg unaccent behavior)."""
     return "".join(c for c in unicodedata.normalize("NFD", text) if not unicodedata.combining(c))
+
+
+# ---------------------------------------------------------------------------
+# Canonical codepoint fold — the SINGLE tokenizer spec shared with the C++ fast
+# path (native/thr_native.cpp kFold* tables are code-generated from fold_char;
+# tests/test_native.py checks parity over every covered codepoint). An index
+# built by either path is queryable by the other with identical vocab.
+# ---------------------------------------------------------------------------
+
+# Latin letters with no NFD decomposition, folded explicitly (single-char contract).
+_EXPLICIT_FOLDS = {
+    "ß": "s", "æ": "a", "ø": "o", "đ": "d", "ħ": "h",
+    "ı": "i", "ĸ": "k", "ł": "l", "ŧ": "t",
+}
+# Codepoint ranges the fold table covers: Latin-1 Supplement + Latin Extended-A/B,
+# and Latin Extended Additional (Vietnamese etc.). Everything else non-ASCII is a
+# token separator in both tokenizers.
+FOLD_RANGES = ((0xC0, 0x250), (0x1E00, 0x1F00))
+COMBINING_RANGE = (0x300, 0x370)  # skipped (supports already-NFD'd input)
+
+
+def fold_char(cp: int) -> str:
+    """Fold one codepoint to its ASCII token char, or '' when it's a separator.
+
+    Spec: lowercase -> NFD -> drop combining marks -> explicit fold for the
+    non-decomposable Latin letters -> keep [0-9a-z]; first char when multi.
+    """
+    out = []
+    for c in chr(cp).lower():
+        for base in unicodedata.normalize("NFD", c):
+            if unicodedata.combining(base):
+                continue
+            base = _EXPLICIT_FOLDS.get(base, base)
+            if "0" <= base <= "9" or "a" <= base <= "z":
+                out.append(base)
+    return out[0] if out else ""
+
+
+def _build_fold_table() -> dict:
+    table: dict = {cp: None for cp in range(*COMBINING_RANGE)}  # delete combining marks
+    for lo, hi in FOLD_RANGES:
+        for cp in range(lo, hi):
+            f = fold_char(cp)
+            table[cp] = f if f else " "
+    return table
+
+
+_FOLD_TABLE = _build_fold_table()
 
 
 def s_stem(token: str) -> str:
@@ -86,12 +135,17 @@ class Analyzer:
         """Full pipeline: normalize, split, filter stopwords and short tokens, stem."""
         text = text.lower()
         if self.config.analyzer_strip_accents:
-            text = strip_accents(text)
+            # canonical fold (shared spec with the C++ fast path): accented Latin ->
+            # ASCII base, non-decomposables via _EXPLICIT_FOLDS, rest are separators
+            text = text.translate(_FOLD_TABLE)
+            token_re = _ASCII_TOKEN_RE
+        else:
+            token_re = _TOKEN_RE
         min_len = self.config.analyzer_min_token_len
         stem = s_stem if self.config.analyzer_stemming == "light" else (lambda t: t)
         return [
             stem(t)
-            for t in _TOKEN_RE.findall(text)
+            for t in token_re.findall(text)
             if len(t) >= min_len and t not in self._stopwords
         ]
 

@@ -82,9 +82,28 @@ def extract_tables(text: str) -> Tuple[str, List[str]]:
     Returns (text_with_placeholders, tables). A run qualifies as a table when it spans
     >= 2 consecutive ``| ... |`` lines.
     """
+    masked, tables, _ = extract_tables_spans(text)
+    return masked, tables
+
+
+def extract_tables_spans(
+    text: str,
+) -> Tuple[str, List[str], List[Tuple[int, int, int, int]]]:
+    """Like :func:`extract_tables`, additionally returning placeholder span info.
+
+    The third element is a list of ``(masked_start, masked_end, orig_start, orig_end)``
+    tuples — one per placeholder, in document order — mapping each placeholder's span in
+    the masked text back to the replaced table's span in the original text. This is what
+    lets page/char provenance computed on masked offsets be projected back onto the
+    original text (tables are usually much longer than their placeholders, so every
+    offset after a table shifts).
+    """
     lines = text.split("\n")
     out: List[str] = []
     tables: List[str] = []
+    spans: List[Tuple[int, int, int, int]] = []
+    orig_pos = 0  # char offset of lines[i] in the original text
+    masked_pos = 0  # char offset of the next appended line in the masked text
     i = 0
     while i < len(lines):
         if _TABLE_ROW.match(lines[i]):
@@ -92,13 +111,45 @@ def extract_tables(text: str) -> Tuple[str, List[str]]:
             while j < len(lines) and _TABLE_ROW.match(lines[j]):
                 j += 1
             if j - i >= 2:
-                tables.append("\n".join(lines[i:j]))
-                out.append(_PLACEHOLDER.format(len(tables) - 1))
+                table = "\n".join(lines[i:j])
+                tables.append(table)
+                ph = _PLACEHOLDER.format(len(tables) - 1)
+                spans.append((masked_pos, masked_pos + len(ph), orig_pos, orig_pos + len(table)))
+                out.append(ph)
+                masked_pos += len(ph) + 1  # +1 for the join "\n"
+                orig_pos += len(table) + 1
                 i = j
                 continue
         out.append(lines[i])
+        masked_pos += len(lines[i]) + 1
+        orig_pos += len(lines[i]) + 1
         i += 1
-    return "\n".join(out), tables
+    return "\n".join(out), tables, spans
+
+
+def make_offset_mapper(
+    spans: Sequence[Tuple[int, int, int, int]]
+) -> Callable[[int], int]:
+    """Build masked-offset -> original-offset projection from placeholder spans.
+
+    Positions before/after each placeholder shift by the cumulative
+    (table length - placeholder length) delta; positions *inside* a placeholder map to
+    the table's start (the whole table is one atomic provenance unit).
+    """
+    if not spans:
+        return lambda pos: pos
+
+    def to_original(pos: int) -> int:
+        delta = 0
+        for m_start, m_end, o_start, o_end in spans:
+            if pos < m_start:
+                break
+            if pos < m_end:
+                return o_start
+            delta = o_end - m_end
+        return pos + delta
+
+    return to_original
 
 
 def restore_tables(text: str, tables: Sequence[str]) -> str:
@@ -267,7 +318,8 @@ class HierarchicalChunker:
             page_map: optional list of (char_start, char_end, page_number) ranges.
         """
         doc_key = doc_id[:16]
-        masked, tables = extract_tables(text)
+        masked, tables, table_spans = extract_tables_spans(text)
+        to_original = make_offset_mapper(table_spans)
         parent_texts = self._parent_splitter.split_text(masked)
 
         headings = self._heading_spans(masked)
@@ -281,7 +333,11 @@ class HierarchicalChunker:
                 pos = cursor
             cursor = pos + max(1, len(p_masked) // 2)
             heading = self._heading_for(headings, pos)
-            p_start, p_end = self._pages_for(page_map, pos, pos + len(p_masked), text)
+            # page_map offsets refer to the ORIGINAL text; project masked offsets back
+            # through the table placeholders before page attribution.
+            p_start, p_end = self._pages_for(
+                page_map, to_original(pos), to_original(pos + len(p_masked)), text
+            )
 
             p_text = restore_tables(p_masked, tables)
             parent = ParentChunk(

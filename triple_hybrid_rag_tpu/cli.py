@@ -218,7 +218,10 @@ def cmd_serve(args: argparse.Namespace) -> int:
             if (index_dir / "manifest.json").exists()
             else RAG(use_sharded_engine=True)
         )
-    httpd = serve(host=args.host, port=args.port, rag=rag, index_dir=args.index)
+    httpd = serve(
+        host=args.host, port=args.port, rag=rag, index_dir=args.index,
+        ingest_root=args.ingest_root,
+    )
     print(f"thr serving on http://{args.host}:{args.port} (index: {args.index})")
     try:
         httpd.serve_forever()
@@ -284,6 +287,9 @@ def main(argv=None) -> int:
     p.add_argument("--index", default="./thr_index")
     p.add_argument("--engine", action="store_true",
                    help="serve through the batched sharded engine (one-dispatch path)")
+    p.add_argument("--ingest-root", default=None,
+                   help="allow POST /ingest {'path': ...} for files under this directory "
+                        "(disabled when omitted)")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

@@ -285,7 +285,10 @@ def build_bm25_index(
         w = idf[ts] * cs * k1p1 / (cs + denom[d])
         if len(ts) > L:
             overflow += 1
-            keep = np.argsort(-w)[:L]
+            # two-key (weight desc, term-id asc) selection + canonical term-id-ascending
+            # slot order — matches the native overflow path exactly even on tied weights
+            keep = np.lexsort((ts, -w))[:L]
+            keep = keep[np.argsort(ts[keep], kind="stable")]
             ts, w = ts[keep], w[keep]
         term_ids[d, : len(ts)] = ts
         term_weights[d, : len(ts)] = w
@@ -389,7 +392,11 @@ def _build_native(texts: Sequence[str], config: RAGConfig) -> BM25Index:
                 postings_doc[o : o + e - s] = pd_full[s:e]
                 postings_tf[o : o + e - s] = pt_full[s:e]
             else:
-                sel = np.argpartition(-pt_full[s:e], cap - 1)[:cap]
+                # deterministic two-key selection (tf desc, doc asc) — identical to the
+                # pure-Python build's stable sorted(key=-tf)[:cap] over a doc-ascending
+                # list, so native and Python indexes store the same postings even when
+                # tfs tie at the cap boundary (lexsort: last key is primary).
+                sel = np.lexsort((np.arange(e - s), -pt_full[s:e]))[:cap]
                 sel.sort()  # keep doc-ascending order inside the window
                 o = int(offsets[t])
                 postings_doc[o : o + cap] = pd_full[s:e][sel]

@@ -6,33 +6,100 @@ Here the system of record is the host CorpusStore + EntityStore + embedding map;
 module serializes them (and the config they were built under) so a process can restore
 and rebuild device indexes without re-ingesting:
 
-- ``corpus.pkl`` / ``entities.pkl`` — host stores (documents, chunks, triples),
+- ``corpus.json`` / ``entities.json`` — host stores (documents, chunks, triples) as
+  plain JSON (non-executable on load — a checkpoint from an untrusted location cannot
+  run code, unlike pickle; format v1's ``corpus.pkl``/``entities.pkl`` load only behind
+  an explicit ``allow_pickle=True`` opt-in),
 - ``embeddings.npz`` — chunk_id -> full-dim embedding matrix (pre-Matryoshka, so the
   restore can re-truncate under a different ``embedding_dim`` — the backfill/migration
   analogue of ``scripts/backfill_rag2.py``),
 - ``manifest.json`` — config snapshot, counts, content hash of each artifact.
 
-Loading verifies artifact hashes (corruption detection) and config compatibility.
+Loading verifies artifact hashes (corruption detection; tamper detection only to the
+extent the manifest itself is trusted) and config compatibility.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import enum
 import hashlib
 import json
-import pickle
 import time
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..config import RAGConfig
 from ..corpus import CorpusStore
 from ..models.entity_extractor import EntityStore
+from ..types import (
+    ChildChunk,
+    Document,
+    Entity,
+    EntityMention,
+    EntityType,
+    FileType,
+    IngestionStatus,
+    Modality,
+    ParentChunk,
+    Relation,
+    RelationType,
+)
 
 MANIFEST = "manifest.json"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+
+# ---------------------------------------------------------------------------
+# JSON codecs for the host-store dataclasses (str-enums -> values, tuples -> lists)
+# ---------------------------------------------------------------------------
+
+
+def _json_default(obj: Any) -> Any:
+    if isinstance(obj, enum.Enum):
+        return obj.value
+    raise TypeError(f"not JSON-serializable: {type(obj)!r}")
+
+
+def _dump_json(path: Path, payload: Any) -> None:
+    with open(path, "w") as f:
+        json.dump(payload, f, default=_json_default, separators=(",", ":"))
+
+
+def _doc_from(d: dict) -> Document:
+    d = dict(d)
+    d["file_type"] = FileType(d["file_type"])
+    d["status"] = IngestionStatus(d["status"])
+    return Document(**d)
+
+
+def _parent_from(d: dict) -> ParentChunk:
+    return ParentChunk(**d)
+
+
+def _child_from(d: dict) -> ChildChunk:
+    d = dict(d)
+    d["modality"] = Modality(d["modality"])
+    return ChildChunk(**d)
+
+
+def _entity_from(d: dict) -> Entity:
+    d = dict(d)
+    d["entity_type"] = EntityType(d["entity_type"])
+    d["aliases"] = tuple(d.get("aliases", ()))
+    return Entity(**d)
+
+
+def _relation_from(d: dict) -> Relation:
+    d = dict(d)
+    d["relation_type"] = RelationType(d["relation_type"])
+    return Relation(**d)
+
+
+def _mention_from(d: dict) -> EntityMention:
+    return EntityMention(**d)
 
 
 def _sha256_file(path: Path) -> str:
@@ -58,10 +125,25 @@ def save_checkpoint(
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
 
-    with open(directory / "corpus.pkl", "wb") as f:
-        pickle.dump(corpus.to_state(), f)
-    with open(directory / "entities.pkl", "wb") as f:
-        pickle.dump(entity_store, f)
+    cstate = corpus.to_state()
+    _dump_json(
+        directory / "corpus.json",
+        {
+            "documents": {k: dataclasses.asdict(v) for k, v in cstate["documents"].items()},
+            "parents": [dataclasses.asdict(p) for p in cstate["parents"]],
+            "children": [dataclasses.asdict(c) for c in cstate["children"]],
+        },
+    )
+    estate = entity_store.to_state() if entity_store else {"entities": [], "relations": [], "mentions": []}
+    _dump_json(
+        directory / "entities.json",
+        {
+            "present": entity_store is not None,
+            "entities": [dataclasses.asdict(e) for e in estate["entities"]],
+            "relations": [dataclasses.asdict(r) for r in estate["relations"]],
+            "mentions": [dataclasses.asdict(m) for m in estate["mentions"]],
+        },
+    )
 
     emb_path = directory / "embeddings.npz"
     if embeddings:
@@ -74,7 +156,7 @@ def save_checkpoint(
         )
 
     artifacts = {}
-    for name in ("corpus.pkl", "entities.pkl", "embeddings.npz"):
+    for name in ("corpus.json", "entities.json", "embeddings.npz"):
         artifacts[name] = _sha256_file(directory / name)
 
     manifest = {
@@ -94,17 +176,29 @@ def save_checkpoint(
 def load_checkpoint(
     directory: str | Path,
     verify: bool = True,
+    allow_pickle: bool = False,
 ) -> Tuple[CorpusStore, Optional[EntityStore], Dict[str, np.ndarray], Optional[RAGConfig]]:
-    """Restore artifacts; raises CheckpointError on missing/corrupt data."""
+    """Restore artifacts; raises CheckpointError on missing/corrupt data.
+
+    Format v2 checkpoints are plain JSON + npz — safe to load from untrusted storage.
+    Legacy v1 checkpoints used pickle; loading them executes arbitrary code embedded in
+    the file, so they require ``allow_pickle=True`` (only for checkpoints you wrote).
+    """
     directory = Path(directory)
     mpath = directory / MANIFEST
     if not mpath.exists():
         raise CheckpointError(f"no checkpoint manifest at {directory}")
     manifest = json.loads(mpath.read_text())
-    if manifest.get("format_version") != FORMAT_VERSION:
-        raise CheckpointError(
-            f"checkpoint format {manifest.get('format_version')} != {FORMAT_VERSION}"
-        )
+    version = manifest.get("format_version")
+    if version == 1:
+        if not allow_pickle:
+            raise CheckpointError(
+                "format v1 checkpoints are pickle-based; loading executes code from the "
+                "checkpoint. Pass allow_pickle=True only for checkpoints from a trusted "
+                "source, or re-save with save_checkpoint() to migrate to v2 (JSON)."
+            )
+    elif version != FORMAT_VERSION:
+        raise CheckpointError(f"checkpoint format {version} != {FORMAT_VERSION}")
     if verify:
         for name, want in manifest["artifacts"].items():
             p = directory / name
@@ -114,10 +208,32 @@ def load_checkpoint(
             if got != want:
                 raise CheckpointError(f"artifact {name} hash mismatch (corrupt checkpoint)")
 
-    with open(directory / "corpus.pkl", "rb") as f:
-        corpus = CorpusStore.from_state(pickle.load(f))
-    with open(directory / "entities.pkl", "rb") as f:
-        entity_store = pickle.load(f)
+    if version == 1:
+        import pickle  # trusted-path only; gated above
+
+        with open(directory / "corpus.pkl", "rb") as f:
+            corpus = CorpusStore.from_state(pickle.load(f))
+        with open(directory / "entities.pkl", "rb") as f:
+            entity_store = pickle.load(f)
+    else:
+        craw = json.loads((directory / "corpus.json").read_text())
+        corpus = CorpusStore.from_state(
+            {
+                "documents": {k: _doc_from(v) for k, v in craw["documents"].items()},
+                "parents": [_parent_from(p) for p in craw["parents"]],
+                "children": [_child_from(c) for c in craw["children"]],
+            }
+        )
+        eraw = json.loads((directory / "entities.json").read_text())
+        entity_store = None
+        if eraw.get("present", True):
+            entity_store = EntityStore.from_state(
+                {
+                    "entities": [_entity_from(e) for e in eraw["entities"]],
+                    "relations": [_relation_from(r) for r in eraw["relations"]],
+                    "mentions": [_mention_from(m) for m in eraw["mentions"]],
+                }
+            )
     npz = np.load(directory / "embeddings.npz", allow_pickle=False)
     embeddings = {
         str(cid): vec for cid, vec in zip(npz["chunk_ids"], npz["vectors"])

@@ -347,3 +347,26 @@ class EntityStore:
             "relations": len(self.relations),
             "mentions": len(self.mentions),
         }
+
+    # -- checkpoint support (non-executable serialization; see index/checkpoint.py) --
+
+    def to_state(self) -> dict:
+        return {
+            "entities": list(self.entities.values()),
+            "relations": list(self.relations),
+            "mentions": list(self.mentions),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "EntityStore":
+        store = cls()
+        for ent in state["entities"]:
+            store.entities[canonical_key(ent.canonical_name)] = ent
+            store._by_id[ent.entity_id] = ent
+        for rel in state["relations"]:
+            store.relations.append(rel)
+            store._rel_seen.add((rel.subject_id, rel.object_id, rel.relation_type.value))
+        for men in state["mentions"]:
+            store.mentions.append(men)
+            store._men_seen.add((men.entity_id, men.chunk_id))
+        return store

@@ -7,6 +7,8 @@ this dependency-free stdlib server exposing the retrieval engine:
 
     POST /query    {"query": str, "top_k"?: int}          -> RetrievalResult JSON
     POST /ingest   {"text": str, "name"?: str} | {"path": str}
+                   (the "path" variant reads server-local files and is DISABLED unless
+                   the server is started with an ``ingest_root`` allowlist directory)
     POST /rerank   {"query": str, "documents": [str], "top_n"?: int}
                    -> {"results": [{"index", "relevance_score"}]} (vLLM /rerank shape)
     GET  /metrics  Prometheus text exposition (reference rag_metrics /metrics parity)
@@ -18,6 +20,11 @@ tools/VAD to cut first-call latency from seconds to <100ms, app.py:57 — here p
 moves the XLA compile out of the first user query). Threaded server; queries serialize
 through a lock around the device engine (single-stream device execution; scale-out is
 the mesh's job, not thread concurrency).
+
+Trust model: there is NO authentication — like the reference's FastAPI app, auth is the
+deployment's job (reverse proxy / network policy). Bind to 127.0.0.1 (the default)
+unless the network path is trusted. Filesystem ingestion via ``{"path": ...}`` is
+disabled by default; pass ``ingest_root`` to allow paths under one directory only.
 """
 
 from __future__ import annotations
@@ -78,6 +85,7 @@ class RAGServer:
         rag: Optional[RAG] = None,
         config: Optional[RAGConfig] = None,
         index_dir: Optional[str] = None,
+        ingest_root: Optional[str] = None,
     ) -> None:
         if rag is not None:
             self.rag = rag
@@ -86,6 +94,10 @@ class RAGServer:
         else:
             self.rag = RAG(config=config or get_settings())
         self.index_dir = index_dir
+        # allowlist root for {"path": ...} ingestion; None = path ingestion disabled
+        # (an unauthenticated /ingest {"path"} would otherwise let any caller index —
+        # and then exfiltrate via /query — any file readable by the process)
+        self.ingest_root = Path(ingest_root).resolve() if ingest_root else None
         self._lock = threading.Lock()
         self.started_at = time.time()
 
@@ -123,7 +135,15 @@ class RAGServer:
                     force=bool(payload.get("force")),
                 )
             elif "path" in payload:
-                res = self.rag.ingest(payload["path"], force=bool(payload.get("force")))
+                if self.ingest_root is None:
+                    raise ValueError(
+                        "filesystem ingestion is disabled; start the server with "
+                        "ingest_root=<dir> (thr serve --ingest-root) to allow it"
+                    )
+                candidate = Path(str(payload["path"])).resolve()
+                if not candidate.is_relative_to(self.ingest_root):
+                    raise ValueError(f"path outside the allowed ingest root: {candidate}")
+                res = self.rag.ingest(str(candidate), force=bool(payload.get("force")))
             else:
                 raise ValueError("ingest needs 'text' or 'path'")
             if self.index_dir:
@@ -275,9 +295,10 @@ def serve(
     rag: Optional[RAG] = None,
     index_dir: Optional[str] = None,
     prewarm: bool = True,
+    ingest_root: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Create (and return) the HTTP server; caller runs serve_forever()."""
-    state = RAGServer(rag=rag, index_dir=index_dir)
+    state = RAGServer(rag=rag, index_dir=index_dir, ingest_root=ingest_root)
     if prewarm:
         warm_s = state.prewarm()
         rag_metrics.gauge("server_prewarm_seconds").set(warm_s)
