@@ -143,6 +143,23 @@ class RAGConfig:
     # ---- planner ----
     planner_backend: str = "rules"  # "rules" | "llm" (llm is a pluggable host callable)
 
+    # ---- external model servers (optional OpenAI-compatible HTTP boundary) ----
+    # Setting a base URL activates the matching HTTP client (models/http_clients.py):
+    # the reference's vLLM/LM Studio/OpenAI serving boundary (rag2/embedder.py:31,
+    # retrieval/reranker.py:287, rag2/query_planner.py:97, ingestion/ocr.py:223).
+    # Empty string = disabled; the on-mesh / rule-based defaults apply.
+    embed_api_base: str = ""  # e.g. "http://127.0.0.1:1234/v1" -> HTTPEmbedder
+    embed_api_model: str = ""
+    rerank_api_base: str = ""  # -> HTTPRerankerFn (native /rerank + chat fallback)
+    rerank_api_model: str = ""
+    llm_api_base: str = ""  # -> planner + NER JSON-chat callables
+    llm_api_model: str = ""
+    ocr_api_base: str = ""  # -> HTTPVisionOCR recognition rung
+    ocr_api_model: str = ""
+    api_key: str = ""  # bearer token for all of the above ("" = none)
+    api_timeout_s: float = 30.0
+    api_retries: int = 2
+
     # ---- analyzer ----
     analyzer_languages: Tuple[str, ...] = ("en", "pt")
     analyzer_strip_accents: bool = True

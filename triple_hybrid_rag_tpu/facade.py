@@ -31,10 +31,43 @@ class RAG:
         self,
         config: Optional[RAGConfig] = None,
         embedder=None,
+        planner=None,
+        extractor=None,
+        rerank_fn=None,
+        ocr_fn=None,
         use_sharded_engine: bool = False,
     ) -> None:
         self.config = config or get_settings()
-        self.ingestor = Ingestor(config=self.config, embedder=embedder)
+
+        # external model servers: any *_api_base config field activates the matching
+        # OpenAI-compatible HTTP client (the reference's vLLM/LM Studio/OpenAI serving
+        # boundary — models/http_clients.py); explicit arguments always win
+        from .models.http_clients import wire_http_models
+
+        wired = wire_http_models(self.config)
+        embedder = embedder or wired.get("embedder")
+        if extractor is None and "extractor_fn" in wired and self.config.ner_enabled:
+            from .models.entity_extractor import CallableExtractor
+
+            extractor = CallableExtractor(wired["extractor_fn"], self.config)
+        if planner is None and "planner_fn" in wired:
+            from .models.planner import CallablePlanner
+
+            planner = CallablePlanner(wired["planner_fn"], self.config)
+        self._planner = planner
+        self._rerank_fn = rerank_fn or wired.get("rerank_fn")
+
+        loader = None
+        ocr_fn = ocr_fn or wired.get("ocr_fn")
+        if ocr_fn is not None:
+            from .loader import DocumentLoader
+            from .ocr import OCRProcessor
+
+            loader = DocumentLoader(ocr_processor=OCRProcessor(ocr_fn))
+
+        self.ingestor = Ingestor(
+            config=self.config, embedder=embedder, extractor=extractor, loader=loader
+        )
         self.use_sharded_engine = use_sharded_engine
         self._retriever: Optional[Retriever] = None
         self._engine = None
@@ -59,7 +92,12 @@ class RAG:
     @property
     def retriever(self) -> Retriever:
         if self._retriever is None or self.ingestor.corpus.dirty:
-            self._retriever = self.ingestor.make_retriever()
+            kwargs = {}
+            if self._planner is not None:
+                kwargs["planner"] = self._planner
+            if self._rerank_fn is not None:
+                kwargs["rerank_llm_fn"] = self._rerank_fn
+            self._retriever = self.ingestor.make_retriever(**kwargs)
             # live update: re-place arrays into the existing engine when its compiled
             # programs are still shape-valid (zero recompiles); else rebuild lazily
             if self._engine is not None and not self._engine.refresh(self._retriever):

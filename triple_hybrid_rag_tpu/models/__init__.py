@@ -8,6 +8,15 @@ host-callable protocol for wiring external model servers when desired.
 """
 
 from .embedder import BowHashEmbedder, Embedder, HashEmbedder
+from .http_clients import (
+    HTTPChatJSON,
+    HTTPEmbedder,
+    HTTPRerankerFn,
+    HTTPVisionOCR,
+    make_extractor_fn,
+    make_planner_fn,
+    wire_http_models,
+)
 from .planner import QueryPlanner, RuleBasedPlanner
 
 __all__ = [
@@ -16,4 +25,11 @@ __all__ = [
     "BowHashEmbedder",
     "QueryPlanner",
     "RuleBasedPlanner",
+    "HTTPEmbedder",
+    "HTTPRerankerFn",
+    "HTTPChatJSON",
+    "HTTPVisionOCR",
+    "make_planner_fn",
+    "make_extractor_fn",
+    "wire_http_models",
 ]

@@ -121,6 +121,22 @@ class BowHashEmbedder(_ImageHashMixin):
         self.config = config or get_settings()
         self._analyzer = Analyzer(self.config)
         self._token_cache: dict[str, np.ndarray] = {}
+        self._mtok_cache: dict[tuple, np.ndarray] = {}  # (dim, token) -> unit vec
+        self._tok_cache: dict[str, tuple] = {}  # short-text tokenization memo
+
+    def _tok(self, text: str) -> tuple:
+        """Memoized tokenization: the planner, dense embed, and MaxSim token embed all
+        tokenize the same query text in one prepare step — pay once (short texts only;
+        long corpus chunks skip the cache to bound memory)."""
+        if len(text) > 512:
+            return tuple(self._analyzer.tokenize(text))
+        toks = self._tok_cache.get(text)
+        if toks is None:
+            if len(self._tok_cache) > 8192:
+                self._tok_cache.clear()
+            toks = tuple(self._analyzer.tokenize(text))
+            self._tok_cache[text] = toks
+        return toks
 
     def _token_vec(self, token: str) -> np.ndarray:
         v = self._token_cache.get(token)
@@ -132,7 +148,7 @@ class BowHashEmbedder(_ImageHashMixin):
         return v
 
     def _one(self, text: str) -> np.ndarray:
-        tokens = self._analyzer.tokenize(text)
+        tokens = self._tok(text)
         if not tokens:
             return np.zeros(self.dim, np.float32)
         acc = np.zeros(self.dim, np.float32)
@@ -164,11 +180,17 @@ class BowHashEmbedder(_ImageHashMixin):
         t = max_tokens or self.config.maxsim_doc_tokens
         d = dim or self.config.maxsim_dim
         out = np.zeros((len(texts), t, d), np.float32)
+        cache = self._mtok_cache
         for i, text in enumerate(texts):
-            for j, tok in enumerate(self._analyzer.tokenize(text)[:t]):
-                g = np.random.default_rng(_seed_from(f"mtok{d}\x00" + tok))
-                v = g.standard_normal(d).astype(np.float32)
-                out[i, j] = v / np.linalg.norm(v)
+            for j, tok in enumerate(self._tok(text)[:t]):
+                key = (d, tok)
+                v = cache.get(key)
+                if v is None:
+                    g = np.random.default_rng(_seed_from(f"mtok{d}\x00" + tok))
+                    v = g.standard_normal(d).astype(np.float32)
+                    v /= np.linalg.norm(v)
+                    cache[key] = v
+                out[i, j] = v
         return out
 
 

@@ -238,7 +238,10 @@ class CallableExtractor:
             if s is None or o is None or s is o:
                 continue
             try:
-                rtype = RelationType(str(r.get("type", "related_to")).lower())
+                # the reference's JSON shape uses "relation_type"
+                # (entity_extraction.py:286); accept "type" as an alias
+                raw_type = r.get("relation_type", r.get("type", "related_to"))
+                rtype = RelationType(str(raw_type).lower())
             except ValueError:
                 rtype = RelationType.RELATED_TO
             relations.append(

@@ -507,10 +507,10 @@ knowledge graph. Respond ONLY with a JSON object:
   "entities": [{"name": "..", "type": "..", "description": ".."}],
   "relations": [{"subject": "..", "relation_type": "..", "object": ".."}]
 }
-Entity types: person, organization, product, service, location, date, money, event, \
-document, law, contract, clause, project, technology, other.
-Relation types: works_for, part_of, located_in, owns, supplies, references, governed_by, \
-signed_by, effective_on, amount_of, participates_in, produces, related_to.
+Entity types: person, organization, location, product, service, event, date, money, \
+contract, clause, document, concept, technology, metric, other.
+Relation types: works_for, located_in, part_of, produces, uses, related_to, mentions, \
+has_clause, signed_by, effective_on, costs, provides, depends_on.
 Use the exact surface names from the text for subject/object; keep descriptions short."""
 
 

@@ -62,7 +62,11 @@ class DotReranker:
         self.config = config or get_settings()
 
     def score(self, query_ctx: dict, ids: jax.Array, fused_scores: jax.Array) -> jax.Array:
-        qv = query_ctx["query_vec"]  # f32[D] unit
+        qv = query_ctx.get("query_vec")  # f32[D] unit
+        if qv is None:
+            # semantic channel unavailable (e.g. dead embedding server): degrade to
+            # fused order, the reference's original-order rung (reranker.py:459-466)
+            return minmax_normalize(ids, fused_scores)
         emb = self.parent_embeddings[jnp.clip(ids, 0, self.parent_embeddings.shape[0] - 1)]
         cos = jnp.dot(emb, qv.astype(emb.dtype), preferred_element_type=jnp.float32)
         return jnp.where(ids >= 0, (cos + 1.0) * 0.5, 0.0)

@@ -521,7 +521,14 @@ class ShardedEngine:
             from ..index.dense_index import truncate_matryoshka
 
             texts = [p.semantic_query_text or p.original_query for p in plans]
-            raw = np.stack([r.embedder.embed_query(t) for t in texts])
+            # ONE batched embed call for the whole batch: with an HTTP embedder this is
+            # ceil(b/20) requests instead of b (reference batch-of-20, embedder.py:103);
+            # with host embedders it amortizes per-call overhead. Fail-soft: a failed
+            # batch yields zero vectors -> those queries answer via lexical+graph.
+            try:
+                raw = np.asarray(r.embedder.embed_texts(texts), np.float32)
+            except Exception:
+                raw = np.zeros((b, r.embedder.dim), np.float32)
             q_vec = truncate_matryoshka(raw, cfg.embedding_dim)
 
         if self.maxsim_tokens is not None:

@@ -65,6 +65,7 @@ class Retriever:
         graph_index=None,
         reranker: Optional[Reranker] = None,
         child_embeddings: Optional[np.ndarray] = None,
+        rerank_llm_fn=None,
     ) -> None:
         self.config = config or get_settings()
         self.corpus = corpus
@@ -120,9 +121,19 @@ class Retriever:
                 corpus.parent_texts(), self.embedder, self.config
             )
         self.reranker = reranker or get_reranker(
-            self.config, parent_embeddings=parent_emb, maxsim_index=self.maxsim_index
+            self.config,
+            parent_embeddings=parent_emb,
+            maxsim_index=self.maxsim_index,
+            llm_fn=rerank_llm_fn,
+            texts_of=self._parent_text_by_row if rerank_llm_fn is not None else None,
         )
         self.corpus.mark_clean()
+
+    def _parent_text_by_row(self, row: int) -> str:
+        """Parent row -> text (host lookup for the LLM reranker boundary)."""
+        if 0 <= row < self.corpus.n_parents:
+            return self.corpus.parent_by_row(row).text
+        return ""
 
     @classmethod
     def from_indexes(
@@ -323,7 +334,17 @@ class Retriever:
         if not self.config.semantic_enabled or self.dense_index is None:
             ids, scores = self._empty_channel()
             return ids, scores, None
-        raw = self.embedder.embed_query(plan.semantic_query_text or plan.original_query)
+        try:
+            raw = self.embedder.embed_query(plan.semantic_query_text or plan.original_query)
+        except Exception:
+            # degradation ladder: a dead/unreachable embedding server drops the
+            # semantic channel for this query; lexical+graph still answer
+            # (reference boundary behavior, rag2/retrieval.py channel isolation)
+            from .observability import rag_metrics
+
+            rag_metrics.counter("semantic_channel_failures_total").inc()
+            ids, scores = self._empty_channel()
+            return ids, scores, None
         qv = truncate_matryoshka(raw[None], self.config.embedding_dim)[0]
         qv = jnp.asarray(qv)
         ids, scores = self.dense_index.search(qv, plan.semantic_top_k, row_mask)
