@@ -3,18 +3,30 @@
 Measures the ShardedEngine one-dispatch *batched* query path (sort-based sparse BM25 +
 dense MXU matmul + graph k-hop -> RRF fuse -> parent expand -> MaxSim rerank -> safety
 gate) against the reference stack's self-reported p50 of ~300 ms (Postgres + pgvector +
-local vLLM, /root/reference/docs/RAG2.0/ARCHITECTURE.md:386; BASELINE.md).
+local vLLM, /root/reference/docs/RAG2.0/ARCHITECTURE.md:386; BASELINE.md). The
+reference's 300 ms is END-TO-END (GPT plan + channel RPCs + rerank), so the headline
+here is end-to-end too.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The synthetic corpus is generated with realistic shapes/sparsity; queries run through the
-exact compiled program production queries use. Correctness sanity: dense self-retrieval
-must return the queried row at rank 1. Two numbers are reported:
+All THREE channels are live (graph included: 20k-entity adjacency, seeded per query by
+the planner's entity spans). The synthetic corpus is text-consistent: documents are
+bags of vocabulary terms, the dense rows ARE the BowHash embeddings of those terms
+(computed on-device from the hash-direction table), and the MaxSim token stores hold
+the same per-term token vectors the query-side embedder produces — so self-retrieval
+is a real end-to-end correctness check, not a geometry coincidence.
 
-- p50 latency of a single-query dispatch (includes the host<->device round trip, which
-  on this tunneled dev chip is a ~30 ms floor — real host-attached TPUs are ~1000x lower);
-- batched-serving per-query latency at batch 64 (the deployment configuration), which
-  amortizes the dispatch and exposes true device throughput.
+Two latency numbers per run:
+
+- DEVICE-ONLY: query args prepared+uploaded outside the timed loop; times the compiled
+  SPMD program (dispatch -> result fetch). This is the device-throughput ceiling.
+- END-TO-END: query TEXT enters the timed loop; each batch pays real host prep
+  (rule-planner regex, tokenization, vocab lookup, df-tiering, BowHash query embedding,
+  MaxSim query tokens, entity seeding) + host->device upload + dispatch + fetch.
+
+A dispatch-floor microbenchmark (trivial jitted op, round-trip) is reported so the
+single-query numbers can be read against this dev chip's tunneled-dispatch overhead
+(~30 ms here; host-attached production chips are orders of magnitude lower).
 """
 
 import json
@@ -33,9 +45,13 @@ from triple_hybrid_rag_tpu.config import RAGConfig
 from triple_hybrid_rag_tpu.corpus import CorpusStore
 from triple_hybrid_rag_tpu.index.bm25_index import BM25Index
 from triple_hybrid_rag_tpu.index.dense_index import DenseIndex
+from triple_hybrid_rag_tpu.index.graph_index import GraphIndex
 from triple_hybrid_rag_tpu.index.maxsim_index import MaxSimIndex
+from triple_hybrid_rag_tpu.models.embedder import BowHashEmbedder
+from triple_hybrid_rag_tpu.models.entity_extractor import EntityStore, canonical_key
 from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
 from triple_hybrid_rag_tpu.retrieval import Retriever
+from triple_hybrid_rag_tpu.types import Entity
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 1024))
@@ -46,14 +62,22 @@ BATCH = int(os.environ.get("BENCH_BATCH", 64))
 N_SINGLE = int(os.environ.get("BENCH_QUERIES", 20))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8
+N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", 20000))
+GRAPH_FRAC = float(os.environ.get("BENCH_GRAPH_FRAC", 0.3))  # graph-shaped queries
 BASELINE_P50_MS = 300.0  # reference retrieval p50 (ARCHITECTURE.md:386)
+
+TERms = None  # populated in main: term id -> term string
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_synthetic(cfg: RAGConfig):
+def term_str(i: int) -> str:
+    return f"t{i:06d}"
+
+
+def build_synthetic(cfg: RAGConfig, embedder: BowHashEmbedder):
     key = jax.random.PRNGKey(0)
     n_pad = cfg.round_capacity(N)
     host = np.random.default_rng(7)
@@ -86,10 +110,10 @@ def build_synthetic(cfg: RAGConfig):
     idf = np.log1p((N - df + 0.5) / (df + 0.5)).astype(np.float32)
     k1, b = cfg.bm25_k1, cfg.bm25_b
     denom_val = k1 * (1.0 - b + b * 1.0)
-    # precomputed per-posting impacts (tf==1 uniform): idf * (k1+1) / (1 + denom)
     pw = np.zeros(nnz + l_max, np.float32)
     pw[:nnz] = (idf[st] * (k1 + 1.0) / (1.0 + denom_val)).astype(np.float32)
 
+    vocab = Vocabulary.from_list([term_str(i) for i in range(VOCAB)])
     bm25 = BM25Index(
         offsets=jnp.asarray(offsets.astype(np.int32)),
         lengths=jnp.asarray(stored_df.astype(np.int32)),
@@ -99,57 +123,134 @@ def build_synthetic(cfg: RAGConfig):
         term_weights=jnp.zeros((2, 1), jnp.float32),
         contrib_denom_k1=jnp.full((n_pad,), denom_val, jnp.float32),
         idf=jnp.asarray(idf),
-        n_docs=N, n_pad=n_pad, l_max=l_max, vocab=Vocabulary(), config=cfg,
+        n_docs=N, n_pad=n_pad, l_max=l_max, vocab=vocab, config=cfg,
         host_csr=(offsets.astype(np.int32), stored_df.astype(np.int32),
                   postings_doc, postings_tf),
         postings_weight=jnp.asarray(pw),
         host_weights=pw,
     )
 
-    # ---- dense embeddings: unit rows, generated + (optionally) quantized on device ----
-    blocks = []
-    scale_blocks = []
-    bs = 131072
-    for i in range(0, n_pad, bs):
-        k = jax.random.fold_in(key, i)
-        v = jax.random.normal(k, (min(bs, n_pad - i), DIM), jnp.float32)
-        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    # ---- dense rows = BowHash of each doc's terms (text-consistent geometry) ----
+    # The per-term unit directions come from the SAME embedder that will embed query
+    # text at serving time; docs sum their term directions on device.
+    log("building hash-direction tables ...")
+    t0 = time.time()
+    emb_dirs = np.stack([embedder._token_vec(term_str(i)) for i in range(VOCAB)])
+    m_dim = cfg.maxsim_dim
+    # one single-term text per row: row i is term i's token vector by construction
+    mtok = embedder.token_embeddings(
+        [term_str(i) for i in range(VOCAB)], max_tokens=1, dim=m_dim
+    )[:, 0, :]
+    log(f"direction tables built in {time.time()-t0:.1f}s; uploading ...")
+    t0 = time.time()
+    dirs_dev = jnp.asarray(emb_dirs.astype(np.float16))  # f16 wire: halves upload
+    mdirs_dev = jnp.asarray(mtok.astype(np.float16))
+    ids_dev = jnp.asarray(term_ids_doc)
+    jax.block_until_ready(dirs_dev)
+    log(f"tables uploaded in {time.time()-t0:.1f}s")
+
+    @jax.jit
+    def embed_block(dirs, ids):
+        def body(g, acc):
+            return acc + dirs[ids[:, g]].astype(jnp.float32)
+
+        acc = jax.lax.fori_loop(0, ids.shape[1], body, jnp.zeros((ids.shape[0], DIM), jnp.float32))
+        v = acc / jnp.maximum(jnp.linalg.norm(acc, axis=1, keepdims=True), 1e-12)
         if DTYPE == "int8":
             absmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-12)
             scale = absmax / 127.0
-            blocks.append(
-                jnp.clip(jnp.round(v / scale[:, None]), -127, 127).astype(jnp.int8)
-            )
-            scale_blocks.append(scale)
-        else:
-            blocks.append(v.astype(jnp.bfloat16))
+            return jnp.clip(jnp.round(v / scale[:, None]), -127, 127).astype(jnp.int8), scale
+        return v.astype(jnp.bfloat16), jnp.ones((ids.shape[0],), jnp.float32)
+
+    bs = 131072
+    blocks, scale_blocks = [], []
+    for i in range(0, n_pad, bs):
+        e, s = embed_block(dirs_dev, ids_dev[i : i + bs])
+        blocks.append(e)
+        scale_blocks.append(s)
     emb = jnp.concatenate(blocks)
     valid = jnp.arange(n_pad) < N
     dense = DenseIndex(
         embeddings=emb, valid=valid, n_docs=N, n_pad=n_pad, dim=DIM, config=cfg,
         scales=jnp.concatenate(scale_blocks) if DTYPE == "int8" else None,
     )
+    del dirs_dev, blocks, scale_blocks
 
-    # ---- maxsim token store over parents (N/5) ----
+    # ---- maxsim token store: parent p holds the token vectors of chunk 5p's terms ----
     n_parents = N // 5
     p_pad = cfg.round_capacity(n_parents)
-    td, dm = cfg.maxsim_doc_tokens, cfg.maxsim_dim
-    tok_blocks = []
-    for i in range(0, p_pad, bs // 4):
-        k = jax.random.fold_in(key, 9000 + i)
-        t = jax.random.normal(k, (min(bs // 4, p_pad - i), td, dm), jnp.float32)
-        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
-        if DTYPE == "int8":  # int8 token store: 4x smaller rerank HBM (static x127 scale)
-            tok_blocks.append(jnp.clip(jnp.round(t * 127.0), -127, 127).astype(jnp.int8))
-        else:
-            tok_blocks.append(t.astype(jnp.bfloat16))
+    td = cfg.maxsim_doc_tokens
+
+    @jax.jit
+    def tokens_block(mdirs, ids):
+        t = mdirs[ids].astype(jnp.float32)  # [bs, td, m_dim]
+        if DTYPE == "int8":
+            return jnp.clip(jnp.round(t * 127.0), -127, 127).astype(jnp.int8)
+        return t.astype(jnp.bfloat16)
+
+    parent_term_ids = np.zeros((p_pad, td), np.int32)
+    parent_term_ids[:n_parents] = term_ids_doc[: 5 * n_parents : 5, :td]
+    pt_dev = jnp.asarray(parent_term_ids)
+    tok_blocks = [tokens_block(mdirs_dev, pt_dev[i : i + bs // 4]) for i in range(0, p_pad, bs // 4)]
     mx = MaxSimIndex(
         tokens=jnp.concatenate(tok_blocks),
         mask=jnp.ones((p_pad, td), bool).at[n_parents:].set(False),
         n_parents=n_parents, config=cfg,
     )
+    del mdirs_dev, pt_dev, tok_blocks
     parent_of = (np.arange(n_pad) // 5).astype(np.int32)
-    return bm25, dense, mx, parent_of, term_ids_doc
+
+    # ---- graph: E entities, random adjacency + chunk mentions, host lookup ----
+    e_pad = cfg.round_capacity(N_ENTITIES)
+    deg = cfg.graph_max_degree
+    nbr = host.integers(0, N_ENTITIES, size=(e_pad, deg)).astype(np.int32)
+    nbr[N_ENTITIES:] = -1
+    nbr[:, deg // 2 :] = -1  # average degree deg/2
+    m_ent = cfg.graph_max_entities_per_chunk
+    chunk_entities = host.integers(0, N_ENTITIES, size=(n_pad, m_ent)).astype(np.int32)
+    chunk_entities[:, m_ent // 2 :] = -1
+    chunk_entities[N:] = -1
+    store = EntityStore()
+    entity_rows = []
+    row_of = {}
+    for i in range(N_ENTITIES):
+        name = f"Acme{i:05d}"
+        ent = Entity(entity_id=f"e{i}", canonical_name=name, row=i)
+        store.entities[canonical_key(name)] = ent
+        store._by_id[ent.entity_id] = ent
+        entity_rows.append(ent)
+        row_of[ent.entity_id] = i
+    gx = GraphIndex(
+        nbr=jnp.asarray(nbr),
+        chunk_entities=jnp.asarray(chunk_entities),
+        store=store, row_of=row_of, entity_rows=entity_rows,
+        n_entities=N_ENTITIES, e_pad=e_pad, config=cfg, host_adj={},
+    )
+
+    return bm25, dense, mx, gx, parent_of, term_ids_doc
+
+
+def make_query_texts(rows, term_ids_doc, rng, graph_frac=GRAPH_FRAC):
+    """Query text for each target row: its first ~8 unique terms; a fraction get a
+    graph-shaped prefix (relation question over two entity names) that the rule
+    planner turns into requires_graph + entity seeds."""
+    texts, is_graph = [], []
+    for r in rows:
+        seen, terms = set(), []
+        for t in term_ids_doc[r]:
+            if t not in seen:
+                seen.add(t)
+                terms.append(term_str(int(t)))
+            if len(terms) >= 8:
+                break
+        text = " ".join(terms)
+        g = rng.random() < graph_frac
+        if g:
+            e1, e2 = rng.integers(0, N_ENTITIES, size=2)
+            text = f"How is Acme{e1:05d} related to Acme{e2:05d}? " + text
+        texts.append(text)
+        is_graph.append(g)
+    return texts, np.asarray(is_graph)
 
 
 def main():
@@ -158,13 +259,16 @@ def main():
         embedding_dtype=DTYPE,
         maxsim_doc_tokens=int(os.environ.get("BENCH_MAXSIM_TOKENS", 32)),
         maxsim_dim=64, maxsim_query_tokens=16,
-        safety_threshold=0.0, graph_enabled=False,
+        safety_threshold=0.0, graph_enabled=True,
+        graph_max_entities_per_chunk=4,
         lexical_backend="sorted", bm25_df_cap=DF_CAP,
     )
     dev = jax.devices()[0]
-    log(f"device: {dev}, building synthetic corpus N={N} dim={DIM} df_cap={DF_CAP} ...")
+    embedder = BowHashEmbedder(dim=DIM, config=cfg)
+    log(f"device: {dev}, building synthetic corpus N={N} dim={DIM} df_cap={DF_CAP} "
+        f"entities={N_ENTITIES} (all 3 channels ON) ...")
     t0 = time.time()
-    bm25, dense, mx, parent_of, term_ids_doc = build_synthetic(cfg)
+    bm25, dense, mx, gx, parent_of, term_ids_doc = build_synthetic(cfg, embedder)
     jax.block_until_ready(dense.embeddings)
     log(f"index built in {time.time()-t0:.1f}s "
         f"(emb {dense.embeddings.nbytes/1e9:.2f} GB, "
@@ -173,7 +277,7 @@ def main():
 
     retr = Retriever.from_indexes(
         CorpusStore(), cfg, bm25_index=bm25, dense_index=dense,
-        maxsim_index=mx, parent_of=parent_of,
+        maxsim_index=mx, graph_index=gx, parent_of=parent_of, embedder=embedder,
     )
     t0 = time.time()
     engine = ShardedEngine(retr, corpus_mesh())
@@ -184,119 +288,116 @@ def main():
     bm25.offsets = bm25.lengths = bm25.term_ids = bm25.term_weights = None
     dense.embeddings = dense.valid = dense.scales = None
     mx.tokens = mx.mask = None
+    gx.nbr = gx.chunk_entities = None
 
-    # ---- query args straight from the corpus (self-retrieval ground truth) ----
+    # ---- dispatch-floor microbenchmark (tunnel overhead context) ----
+    trivial = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(1.0)
+    np.asarray(trivial(x))  # compile
+    floor = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        np.asarray(trivial(x))
+        floor.append((time.perf_counter() - t0) * 1e3)
+    dispatch_floor_ms = float(np.percentile(floor, 50))
+    log(f"dispatch floor (trivial jitted op round-trip) p50={dispatch_floor_ms:.2f} ms")
+
     rng = np.random.default_rng(42)
     n_rows = max(BATCH * 2, N_SINGLE)
-    rows = rng.integers(0, N, size=n_rows)
-    q_terms = np.full((n_rows, cfg.max_query_terms), -1, np.int32)
-    q_terms[:, :16] = term_ids_doc[rows, :16]
-    q_rows = jnp.take(engine.embeddings, jnp.asarray(rows), axis=0)
-    if DTYPE == "int8":
-        q_scales = jnp.take(engine.dense_scales, jnp.asarray(rows), axis=0)
-        q_rows = q_rows.astype(jnp.float32) * q_scales[:, None]
-    q_vecs = np.asarray(q_rows).astype(np.float32)
-    p_rows = rows // 5
-    from triple_hybrid_rag_tpu.ops.maxsim import dequantize_tokens
-
-    q_toks = np.asarray(
-        dequantize_tokens(
-            jnp.take(engine.maxsim_tokens[:, : cfg.maxsim_query_tokens], jnp.asarray(p_rows), axis=0)
-        )
-    ).astype(np.float32)
-    q_tok_mask = np.ones((n_rows, cfg.maxsim_query_tokens), bool)
-
-    # df-tier split for the tiered lexical path (host prep, same as prepare_queries)
-    stored_df_h = stored_df = np.asarray(bm25.host_csr[1])
-    qs_terms = np.full((n_rows, cfg.max_query_terms), -1, np.int32)
-    qs_slots = np.zeros((n_rows, cfg.max_query_terms), np.int32)
-    ql_terms = np.full((n_rows, cfg.bm25_large_slots), -1, np.int32)
-    ql_slots = np.zeros((n_rows, cfg.bm25_large_slots), np.int32)
-    for i in range(n_rows):
-        small, large = [], []
-        for slot, t in enumerate(q_terms[i]):
-            if t < 0:
-                continue
-            (small if stored_df_h[t] <= cfg.bm25_small_window else large).append((int(t), slot))
-        large.sort(key=lambda ts: stored_df_h[ts[0]])
-        for j, (t, s) in enumerate(small[: cfg.max_query_terms]):
-            qs_terms[i, j], qs_slots[i, j] = t, s
-        for j, (t, s) in enumerate(large[: cfg.bm25_large_slots]):
-            ql_terms[i, j], ql_slots[i, j] = t, s
-
-    def make_args(idx):
-        b = len(idx)
-        return (
-            jax.device_put(q_terms[idx]),
-            jax.device_put(qs_terms[idx]), jax.device_put(qs_slots[idx]),
-            jax.device_put(ql_terms[idx]), jax.device_put(ql_slots[idx]),
-            jax.device_put(q_vecs[idx]),
-            jax.device_put(q_toks[idx]), jax.device_put(q_tok_mask[idx]),
-            jnp.zeros((b, engine.e_pad), bool),
-            jnp.broadcast_to(
-                jnp.asarray([cfg.lexical_weight, cfg.semantic_weight, cfg.graph_weight],
-                            jnp.float32), (b, 3)),
-            jnp.float32(0.0), jnp.float32(cfg.denoise_alpha),
-            jnp.zeros((b,), bool),
-            jnp.full((b,), -1, jnp.int32),  # unscoped (no collection filter)
-        )
-
-    idx_args = engine._index_args()
+    # target rows are multiples of 5 so the MaxSim parent token store covers them
+    rows = (rng.integers(0, N // 5, size=n_rows) * 5).astype(np.int64)
+    texts, is_graph = make_query_texts(rows, term_ids_doc, rng)
 
     def fetch(out):
         return np.asarray(out[0])  # forces completion incl. result transfer
 
-    # ---- single-query latency (dispatch -> result fetched) ----
-    prog1 = engine._program(1)
-    log("compiling single-query program ...")
+    # ---- compile + sanity (text in -> final top-k out; self-retrieval) ----
+    log("compiling batch program + running sanity ...")
     t0 = time.time()
-    out = prog1(*idx_args, *make_args(np.array([0])))
-    ids0 = fetch(out)
-    log(f"compile+first query: {time.time()-t0:.1f}s")
-    sanity_ok = int(rows[0]) in ids0[0].tolist()
-    log(f"sanity (self-retrieval row {rows[0]} in top-k {ids0[0].tolist()}): {sanity_ok}")
+    plans, out = engine.search_arrays(texts[:BATCH])
+    ids = fetch(out)
+    log(f"compile+first batch: {time.time()-t0:.1f}s")
+    plain = ~is_graph[:BATCH]
+    hits = sum(int(rows[i]) in ids[i].tolist() for i in range(BATCH) if plain[i])
+    sanity_frac = hits / max(1, int(plain.sum()))
+    graph_used = sum(1 for p in plans if p.requires_graph)
+    log(f"e2e self-retrieval: {hits}/{int(plain.sum())} plain queries have their row "
+        f"in final top-{cfg.final_top_k} ({sanity_frac:.2f}); "
+        f"{graph_used}/{BATCH} queries exercised the graph channel")
+    sanity_ok = sanity_frac >= 0.8
 
+    # ---- END-TO-END batched: text -> prep -> upload -> dispatch -> fetch ----
+    text_batches = []
+    for _ in range(N_BATCHES):
+        r = (rng.integers(0, N // 5, size=BATCH) * 5).astype(np.int64)
+        text_batches.append(make_query_texts(r, term_ids_doc, rng)[0])
+    t0 = time.perf_counter()
+    outs = [engine.search_arrays(tb)[1] for tb in text_batches]
+    for o in outs:
+        fetch(o)
+    e2e_s = time.perf_counter() - t0
+    e2e_ms = e2e_s / (N_BATCHES * BATCH) * 1e3
+    e2e_qps = N_BATCHES * BATCH / e2e_s
+    log(f"END-TO-END batched: {e2e_ms:.3f} ms/query, {e2e_qps:.0f} QPS (batch={BATCH})")
+
+    # prep-only cost (host work, no device)
+    t0 = time.perf_counter()
+    for tb in text_batches:
+        engine.prepare_queries(tb)
+    prep_ms = (time.perf_counter() - t0) / (N_BATCHES * BATCH) * 1e3
+    log(f"host prep: {prep_ms:.3f} ms/query")
+
+    # ---- DEVICE-ONLY batched: args prepared+uploaded outside the loop ----
+    progB = engine._program(BATCH)
+    idx_args = engine._index_args()
+    arg_batches = [engine.prepare_queries(tb)[1] for tb in text_batches]
+    for a in arg_batches:
+        jax.block_until_ready(a[0])
+    fetch(progB(*idx_args, *arg_batches[0]))  # warm
+    t0 = time.perf_counter()
+    outs = [progB(*idx_args, *a) for a in arg_batches]
+    for o in outs:
+        fetch(o)
+    dev_s = time.perf_counter() - t0
+    dev_ms = dev_s / (N_BATCHES * BATCH) * 1e3
+    log(f"DEVICE-ONLY batched: {dev_ms:.3f} ms/query, {N_BATCHES*BATCH/dev_s:.0f} QPS")
+
+    # ---- single-query end-to-end latency ----
+    engine.search_arrays([texts[0]])  # compile width 1
     lat = []
     for i in range(N_SINGLE):
-        args = make_args(np.array([i % n_rows]))
         t0 = time.perf_counter()
-        fetch(prog1(*idx_args, *args))
+        fetch(engine.search_arrays([texts[i % n_rows]])[1])
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.array(lat)
     p50, p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
-    log(f"single-query latency p50={p50:.2f}ms p95={p95:.2f}ms")
-
-    # ---- batched serving throughput ----
-    progB = engine._program(BATCH)
-    log(f"compiling batch-{BATCH} program ...")
-    t0 = time.time()
-    fetch(progB(*idx_args, *make_args(np.arange(BATCH))))
-    log(f"batch compile+first: {time.time()-t0:.1f}s")
-    batch_args = [make_args(rng.integers(0, n_rows, size=BATCH)) for _ in range(N_BATCHES)]
-    t0 = time.perf_counter()
-    outs = [progB(*idx_args, *a) for a in batch_args]
-    for o in outs:
-        fetch(o)
-    total_s = time.perf_counter() - t0
-    per_query_ms = total_s / (N_BATCHES * BATCH) * 1e3
-    qps = N_BATCHES * BATCH / total_s
-    log(f"batched serving: {per_query_ms:.3f} ms/query, {qps:.0f} QPS (batch={BATCH})")
+    log(f"single-query E2E latency p50={p50:.2f}ms p95={p95:.2f}ms "
+        f"(dispatch floor {dispatch_floor_ms:.1f}ms)")
 
     print(json.dumps({
-        "metric": "triple_hybrid_batched_query_latency_1M_chunks",
-        "value": round(per_query_ms, 3),
+        "metric": "triple_hybrid_e2e_batched_query_latency_1M_chunks",
+        "value": round(e2e_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_P50_MS / per_query_ms, 1),
-        "batched_qps": round(qps, 1),
+        "vs_baseline": round(BASELINE_P50_MS / e2e_ms, 1),
+        "e2e_qps": round(e2e_qps, 1),
+        "device_only_ms_per_query": round(dev_ms, 3),
+        "host_prep_ms_per_query": round(prep_ms, 3),
         "batch_size": BATCH,
-        "single_query_p50_ms": round(p50, 3),
-        "single_query_p95_ms": round(p95, 3),
+        "single_query_e2e_p50_ms": round(p50, 3),
+        "single_query_e2e_p95_ms": round(p95, 3),
         "single_query_vs_baseline": round(BASELINE_P50_MS / p50, 2),
+        "dispatch_floor_ms": round(dispatch_floor_ms, 3),
         "n_chunks": N,
         "embedding_dim": DIM,
+        "n_entities": N_ENTITIES,
+        "graph_enabled": True,
+        "graph_query_fraction": GRAPH_FRAC,
         "sanity_self_retrieval": bool(sanity_ok),
+        "sanity_self_retrieval_frac": round(sanity_frac, 3),
         "device": str(dev),
-        "note": "single-query latency includes a ~30ms tunneled-dev-chip dispatch floor",
+        "note": "e2e = text in -> final ids fetched (host prep + upload in the timed "
+                "loop, all 3 channels on); single-query includes the tunneled "
+                "dispatch floor reported above",
     }))
 
 

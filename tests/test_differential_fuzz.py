@@ -64,10 +64,13 @@ def test_staged_vs_engine_agree(seed, small_config):
         assert [x.chunk_id for x in r_staged.results] == [
             x.chunk_id for x in r_eng.results
         ], (seed, q)
+        # engine query vectors/tokens ship as float16 on the wire (payload halving,
+        # parallel/engine.py prepare_queries); scores may differ from the staged f32
+        # path by ~1e-3 relative while RANKS stay identical (asserted above)
         np.testing.assert_allclose(
             [x.final_score for x in r_staged.results],
             [x.final_score for x in r_eng.results],
-            rtol=1e-4, atol=1e-6, err_msg=f"{seed} {q}",
+            rtol=2e-3, atol=1e-5, err_msg=f"{seed} {q}",
         )
 
 

@@ -122,6 +122,9 @@ class RAGConfig:
     graph_max_degree: int = 64  # padded adjacency width
     graph_max_entities_per_chunk: int = 16
     graph_fuzzy_threshold: float = 0.35  # trigram-jaccard entity name matching
+    graph_max_seeds: int = 8  # seed-entity slots per query on the wire (the engine
+    # ships sparse seed ROW IDS, i32[B, 8] = 2 KB/batch, instead of a dense
+    # bool[B, E_pad] mask — host->device payload stays O(1) in entity count)
 
     # ---- rerank / late interaction (SURVEY §5.7) ----
     rerank_backend: str = "maxsim"  # "maxsim" | "dot" | "none"

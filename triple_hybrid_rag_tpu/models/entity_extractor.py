@@ -28,7 +28,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
-from ..analyzer import strip_accents, trigram_similarity
+from ..analyzer import strip_accents, trigrams
 from ..config import RAGConfig, get_settings
 from ..types import (
     ChildChunk,
@@ -326,21 +326,51 @@ class EntityStore:
     def entity_by_id(self, entity_id: str) -> Optional[Entity]:
         return self._by_id.get(entity_id)
 
+    def _trgm_index(self):
+        """Trigram inverted index over canonical keys — the pg_trgm GIN-index analogue
+        (reference entity-name trigram index, triple-hybrid-rag/database/schema.sql).
+        Lookup cost is O(postings of the query's trigrams), not O(entities): at 20k+
+        entities a fuzzy miss was a multi-ms full scan per name. Rebuilt lazily when
+        the entity count changes (canonical keys are append-only)."""
+        if getattr(self, "_trgm_n", -1) != len(self.entities):
+            table: Dict[str, List[str]] = {}
+            tsets: Dict[str, frozenset] = {}
+            for k in self.entities:
+                ts = trigrams(k)
+                tsets[k] = ts
+                for g in ts:
+                    table.setdefault(g, []).append(k)
+            self._trgm_table = table
+            self._trgm_sets = tsets
+            self._trgm_n = len(self.entities)
+        return self._trgm_table, self._trgm_sets
+
     def lookup(self, name: str, fuzzy_threshold: float = 0.35) -> List[Entity]:
         """Exact canonical / substring / trigram-fuzzy entity lookup
-        (replaces pg_trgm + PuppyGraph entity_lookup, puppygraph.py:182)."""
+        (replaces pg_trgm + PuppyGraph entity_lookup, puppygraph.py:182).
+        Candidates come from the trigram inverted index; a substring pair of length
+        >= 3 always shares interior trigrams, so substring matches surface there too."""
         key = canonical_key(name)
         exact = self.entities.get(key)
         if exact is not None:
             return [exact]
+        if not key:
+            return []
+        table, tsets = self._trgm_index()
+        qt = trigrams(key)
+        counts: Dict[str, int] = {}
+        for g in qt:
+            for k in table.get(g, ()):
+                counts[k] = counts.get(k, 0) + 1
         out = []
-        for k, ent in self.entities.items():
-            if key and (key in k or k in key):
-                out.append((0.99, ent))
+        for k, c in counts.items():
+            if key in k or k in key:
+                out.append((0.99, self.entities[k]))
                 continue
-            sim = trigram_similarity(key, k)
+            kt = tsets[k]
+            sim = c / (len(qt) + len(kt) - c)  # jaccard from shared count
             if sim >= fuzzy_threshold:
-                out.append((sim, ent))
+                out.append((sim, self.entities[k]))
         out.sort(key=lambda x: -x[0])
         return [e for _, e in out]
 

@@ -56,6 +56,15 @@ _ENTITY_LOOKUP_PREFIXES = ("who is", "who are", "quem é", "quem e", "quem sao",
 # Capitalized multi-word spans (naive proper-noun detection for graph seeding).
 _ENTITY_SPAN_RE = re.compile(r"\b([A-ZÀ-Ý][\wÀ-ÿ&.-]+(?:\s+[A-ZÀ-Ý][\wÀ-ÿ&.-]+)*)\b")
 
+# Interrogatives / auxiliaries / verbs that appear capitalized at sentence start but
+# are never entity names (EN + PT; mirrors the reference planner's stop-word slant).
+_NONENTITY_WORDS = frozenset(
+    """how what who whom whose which when where why is are was were does do did can
+    could will would should shall may might must list show find tell give explain
+    describe compare qual quais quem como onde quando quanto quantos liste mostre
+    descreva compare explique""".split()
+)
+
 
 class QueryPlanner(Protocol):
     """Planner interface; both rule-based and LLM-backed planners satisfy it."""
@@ -125,6 +134,10 @@ class RuleBasedPlanner:
         spans = [m.group(1) for m in _ENTITY_SPAN_RE.finditer(query)]
         out = []
         for i, s in enumerate(spans):
+            # single-word interrogatives/aux verbs capitalized by sentence position
+            # are never entities ("How is X related to Y?" must not lookup "How")
+            if " " not in s and s.lower() in _NONENTITY_WORDS:
+                continue
             if i == 0 and query.startswith(s) and len(s.split()) == 1:
                 # leading word is capitalized by sentence position, not a proper noun,
                 # unless it also appears capitalized elsewhere or is multi-word

@@ -322,12 +322,16 @@ class ShardedEngine:
             collection_of,
             parent_of, parent_emb, mx_tokens, mx_mask,
             q_terms, qs_terms, qs_slots, ql_terms, ql_slots,
-            q_vec, q_tokens, q_tok_mask, seeds, weights, threshold, alpha,
+            q_vec, q_tokens, q_tok_mask, seed_rows, weights, threshold, alpha,
             graph_on, coll_cid,
         ):
             # stacked shard arrays arrive as [1, ...]: drop the shard axis
             lex_offsets, lex_lengths = lex_offsets[0], lex_lengths[0]
             lex_pd, lex_pt = lex_pd[0], lex_pt[0]
+            # query payloads ship as float16 / sparse ids to minimize the host->device
+            # transfer (PCIe/tunnel bound at high QPS); compute dtypes restore here
+            q_vec = q_vec.astype(jnp.float32)
+            q_tokens = q_tokens.astype(jnp.float32)
 
             def row_mask_for(b):
                 # per-query collection filter over this shard's rows
@@ -400,11 +404,20 @@ class ShardedEngine:
 
             # ---- graph ----
             if use_graph:
-                def graph_one(seed_vec, on, b):
+                e_pad = nbr.shape[0]
+
+                def graph_one(sr, on, b):
+                    # sparse seed rows -> dense seed vector (scatter-max: -1 pads,
+                    # clipped to row 0, can never clear a real row-0 seed)
+                    seed_vec = (
+                        jnp.zeros((e_pad,), bool)
+                        .at[jnp.clip(sr, 0, e_pad - 1)]
+                        .max(sr >= 0)
+                    )
                     ent = khop_entity_scores(nbr, seed_vec, hops=hops)
                     sc = chunk_scores_from_entities(chunk_entities, ent)
                     return masked_top_k(jnp.where(on, sc, 0.0), k_graph, valid=row_mask_for(b))
-                g_ids, g_vals = jax.vmap(graph_one)(seeds, graph_on, jnp.arange(batch))
+                g_ids, g_vals = jax.vmap(graph_one)(seed_rows, graph_on, jnp.arange(batch))
                 graph_ids, graph_scores = merge(g_ids, g_vals, k_graph)
             else:
                 graph_ids = jnp.full((batch, 1), -1, jnp.int32)
@@ -539,19 +552,23 @@ class ShardedEngine:
             q_tokens = np.zeros((b, 1, 1), np.float32)
             q_tok_mask = np.zeros((b, 1), bool)
 
-        seeds = np.zeros((b, self.e_pad), bool)
+        seed_rows = np.full((b, cfg.graph_max_seeds), -1, np.int32)
         graph_on = np.zeros((b,), bool)
         gx = self.retriever.graph_index
         if gx is not None:
             for i, plan in enumerate(plans):
                 if not plan.requires_graph:
                     continue
+                n_seeds = 0
                 for name in plan.graph_entities or plan.keywords:
                     for e in gx.entity_lookup(name)[:3]:
                         row = gx.row_of.get(e.entity_id)
-                        if row is not None:
-                            seeds[i, row] = True
+                        if row is not None and n_seeds < cfg.graph_max_seeds:
+                            seed_rows[i, n_seeds] = row
+                            n_seeds += 1
                             graph_on[i] = True
+                    if n_seeds >= cfg.graph_max_seeds:
+                        break
 
         weights = np.stack(
             [
@@ -564,17 +581,22 @@ class ShardedEngine:
             ]
         ).astype(np.float32)
 
-        args = (
-            jnp.asarray(q_terms),
-            jnp.asarray(qs_terms), jnp.asarray(qs_slots),
-            jnp.asarray(ql_terms), jnp.asarray(ql_slots),
-            jnp.asarray(q_vec),
-            jnp.asarray(q_tokens.astype(np.float32)), jnp.asarray(q_tok_mask),
-            jnp.asarray(seeds), jnp.asarray(weights),
-            jnp.float32(cfg.safety_threshold if cfg.safety_enabled else -1e9),
-            jnp.float32(cfg.denoise_alpha if cfg.denoise_enabled else 0.0),
-            jnp.asarray(graph_on),
-            jnp.asarray(coll_cid),
+        # ONE device_put of the whole arg tuple (single transfer RPC, not 14) with the
+        # f16 wire format: halves the dominant host->device query payload
+        # (q_vec [B, D] + q_tokens [B, T, d]); the program restores f32 on device
+        args = jax.device_put(
+            (
+                q_terms,
+                qs_terms, qs_slots,
+                ql_terms, ql_slots,
+                q_vec.astype(np.float16),
+                q_tokens.astype(np.float16), q_tok_mask,
+                seed_rows, weights,
+                np.float32(cfg.safety_threshold if cfg.safety_enabled else -1e9),
+                np.float32(cfg.denoise_alpha if cfg.denoise_enabled else 0.0),
+                graph_on,
+                coll_cid,
+            )
         )
         return plans, args
 

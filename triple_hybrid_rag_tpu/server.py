@@ -34,9 +34,10 @@ import threading
 import time
 
 import numpy as np
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from typing import Optional
+from typing import List, Optional
 
 from .config import RAGConfig, get_settings
 from .facade import RAG
@@ -77,6 +78,123 @@ def result_to_dict(result: RetrievalResult) -> dict:
     }
 
 
+class _Pending:
+    __slots__ = ("query", "top_k", "collection", "event", "result", "error")
+
+    def __init__(self, query: str, top_k, collection) -> None:
+        self.query = query
+        self.top_k = top_k
+        self.collection = collection
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class MicroBatcher:
+    """Dynamic micro-batching: coalesce concurrent /query requests into ONE engine
+    dispatch.
+
+    The batched ShardedEngine program amortizes the host->device round trip across the
+    batch (~batch-64 throughput is hundreds of times single-dispatch throughput), but a
+    lock-serialized server could never reach it: each HTTP thread paid a full dispatch.
+    Here request threads enqueue and block; a dispatcher thread drains the queue —
+    waiting at most ``window_s`` after the first request for stragglers — pads the
+    batch to the next power-of-two width (bounding compiled-program count to
+    log2(max_batch) variants), runs ONE ``query_batch``, and distributes results.
+
+    The reference has no analogue (its concurrency = asyncio over external services);
+    this is the TPU-serving replacement for "scale API workers horizontally"
+    (reference spec docs/RAG2.0/Triple-Hybrid-RAG.docx.md:63-69).
+    """
+
+    def __init__(
+        self,
+        state: "RAGServer",
+        window_s: float = 0.002,
+        max_batch: int = 64,
+        timeout_s: float = 120.0,
+    ) -> None:
+        self.state = state
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.timeout_s = timeout_s
+        self._queue: deque = deque()
+        self._cond = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, name="thr-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+
+    def submit(self, query: str, top_k, collection):
+        p = _Pending(query, top_k, collection)
+        with self._cond:
+            self._queue.append(p)
+            self._cond.notify()
+        if not p.event.wait(self.timeout_s):
+            raise TimeoutError("query timed out waiting for the engine")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    # -- dispatcher --
+
+    def _drain(self) -> List[_Pending]:
+        with self._cond:
+            while not self._queue and not self._closed:
+                self._cond.wait(timeout=1.0)
+            if self._closed:
+                return []
+        # straggler window: let concurrent requests coalesce into this dispatch
+        deadline = time.monotonic() + self.window_s
+        while time.monotonic() < deadline:
+            with self._cond:
+                if len(self._queue) >= self.max_batch:
+                    break
+            time.sleep(self.window_s / 8)
+        with self._cond:
+            n = min(len(self._queue), self.max_batch)
+            return [self._queue.popleft() for _ in range(n)]
+
+    def _run(self) -> None:
+        while True:
+            batch = self._drain()
+            if not batch:
+                if self._closed:
+                    return
+                continue
+            queries = [p.query for p in batch]
+            colls = [p.collection for p in batch]
+            # pad to the next power-of-two width: compiled-program count stays
+            # O(log max_batch) instead of one program per observed batch size
+            width = 1 << (len(batch) - 1).bit_length()
+            while len(queries) < width:
+                queries.append(queries[-1])
+                colls.append(None)
+            scoped = any(c is not None for c in colls)
+            try:
+                with self.state._lock:
+                    results = self.state.rag.query_batch(
+                        queries, collections=colls if scoped else None
+                    )
+                rag_metrics.counter("server_engine_batches_total").inc()
+                rag_metrics.histogram("server_batch_size").observe(len(batch))
+                for p, r in zip(batch, results):
+                    if p.top_k is not None:
+                        r.results = r.results[: p.top_k]
+                    p.result = r
+                    p.event.set()
+            except Exception as e:  # pragma: no cover - engine failure path
+                for p in batch:
+                    p.error = e
+                    p.event.set()
+
+
 class RAGServer:
     """Server state: a RAG facade + device-engine lock + prewarm."""
 
@@ -86,6 +204,8 @@ class RAGServer:
         config: Optional[RAGConfig] = None,
         index_dir: Optional[str] = None,
         ingest_root: Optional[str] = None,
+        batch_window_s: float = 0.002,
+        max_batch: int = 64,
     ) -> None:
         if rag is not None:
             self.rag = rag
@@ -100,6 +220,13 @@ class RAGServer:
         self.ingest_root = Path(ingest_root).resolve() if ingest_root else None
         self._lock = threading.Lock()
         self.started_at = time.time()
+        # micro-batching needs the batched engine path; the staged retriever
+        # serializes through the lock as before
+        self.batcher: Optional[MicroBatcher] = None
+        if getattr(self.rag, "use_sharded_engine", False) and batch_window_s > 0:
+            self.batcher = MicroBatcher(
+                self, window_s=batch_window_s, max_batch=max_batch
+            )
 
     def prewarm(self) -> float:
         """Compile the query program before traffic (reference pre-warm parity)."""
@@ -119,8 +246,13 @@ class RAGServer:
         collection = payload.get("collection")
         qid = f"q{int(time.time() * 1e6):x}"
         tracer.query_begin(qid, query)
-        with self._lock, rag_metrics.time("server_query_ms"):
-            result = self.rag.query(query, top_k=top_k, collection=collection)
+        with rag_metrics.time("server_query_ms"):
+            if self.batcher is not None:
+                # coalesced: the MicroBatcher owns the lock for the whole batch
+                result = self.batcher.submit(query, top_k, collection)
+            else:
+                with self._lock:
+                    result = self.rag.query(query, top_k=top_k, collection=collection)
         rag_metrics.counter("server_queries_total").inc()
         if result.refused:
             rag_metrics.counter("server_refusals_total").inc()
@@ -296,12 +428,26 @@ def serve(
     index_dir: Optional[str] = None,
     prewarm: bool = True,
     ingest_root: Optional[str] = None,
+    batch_window_s: float = 0.002,
+    max_batch: int = 64,
 ) -> ThreadingHTTPServer:
     """Create (and return) the HTTP server; caller runs serve_forever()."""
-    state = RAGServer(rag=rag, index_dir=index_dir, ingest_root=ingest_root)
+    state = RAGServer(
+        rag=rag, index_dir=index_dir, ingest_root=ingest_root,
+        batch_window_s=batch_window_s, max_batch=max_batch,
+    )
     if prewarm:
         warm_s = state.prewarm()
         rag_metrics.gauge("server_prewarm_seconds").set(warm_s)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.rag_state = state  # type: ignore[attr-defined]
+
+    orig_shutdown = httpd.shutdown
+
+    def shutdown() -> None:
+        if state.batcher is not None:
+            state.batcher.close()
+        orig_shutdown()
+
+    httpd.shutdown = shutdown  # type: ignore[method-assign]
     return httpd
