@@ -59,6 +59,9 @@ def small_config():
         maxsim_query_tokens=8,
         graph_max_degree=8,
         graph_max_entities_per_chunk=8,
+        # hash embedder keeps unit-test compiles tiny; the packaged trained encoder
+        # ("auto" default) gets its own dedicated tests (test_pretrain.py)
+        embedder_backend="bowhash",
     )
 
 

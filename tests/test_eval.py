@@ -50,7 +50,16 @@ def test_eval_corpus_structure(small_config):
 def test_baseline_config_ladder():
     """Hybrid fusion must not be worse than the weakest single channel, and the full
     pipeline must retrieve meaningfully (recall@10 well above random)."""
-    results = evaluate_baseline_configs(k=10)
+    # bowhash: this test checks the LADDER MACHINERY with the historical embedder;
+    # trained-encoder quality has its own tests (test_pretrain.py)
+    results = evaluate_baseline_configs(
+        RAGConfig(
+            capacity_round=64, embedding_dim=256, embedding_dim_full=512,
+            embedding_dtype="float32", safety_threshold=0.0, final_top_k=10,
+            rerank_top_k=20, denoise_alpha=0.0, embedder_backend="bowhash",
+        ),
+        k=10,
+    )
     r = {name: m["recall@10"] for name, m in results.items()}
     n = {name: m["ndcg@10"] for name, m in results.items()}
     # all configs must be far above random (distractors >> relevant)
@@ -74,7 +83,7 @@ def test_engine_quality_matches_staged():
     cfg = RAGConfig(
         capacity_round=64, embedding_dim=128, embedding_dim_full=256,
         embedding_dtype="float32", safety_threshold=0.0, final_top_k=10,
-        rerank_top_k=20, denoise_alpha=0.0,
+        rerank_top_k=20, denoise_alpha=0.0, embedder_backend="bowhash",
     )
     data = make_eval_corpus(cfg, docs_per_topic=2, distractors=10)
     gidx = build_graph_index(data.entity_store, data.corpus, cfg)
@@ -96,6 +105,7 @@ def test_hard_negative_corpus_quality(small_config):
         capacity_round=64, embedding_dim=128, embedding_dim_full=256,
         embedding_dtype="float32", safety_threshold=0.0, final_top_k=10,
         rerank_top_k=20, denoise_alpha=0.0, graph_enabled=False,
+        embedder_backend="bowhash",
     )
     data = make_eval_corpus(cfg, docs_per_topic=2, distractors=10, hard_negatives=3)
     # hard negatives exist and are NOT labeled relevant

@@ -1,0 +1,151 @@
+"""Packaged trained encoder: paraphrase geometry, auto-default wiring, training step.
+
+The reference's semantic channel is a trained embedding model (rag2/embedder.py:31);
+these tests hold the packaged on-mesh encoder (models/pretrain.py recipe) to that
+standard: held-out paraphrase queries with ZERO token overlap must retrieve their
+documents, which the lexical-overlap hash embedders cannot do by construction.
+"""
+
+import numpy as np
+import pytest
+
+from triple_hybrid_rag_tpu.analyzer import Analyzer
+from triple_hybrid_rag_tpu.config import RAGConfig
+from triple_hybrid_rag_tpu.models.embedder import BowHashEmbedder, get_default_embedder
+from triple_hybrid_rag_tpu.models.pretrain import (
+    CONCEPTS,
+    DEFAULT_PARAMS,
+    load_default_encoder,
+    make_pairs,
+    make_paraphrase_holdout,
+    paraphrase_recall_at_k,
+)
+
+HAS_WEIGHTS = DEFAULT_PARAMS.exists()
+needs_weights = pytest.mark.skipif(not HAS_WEIGHTS, reason="packaged weights not built")
+
+
+def test_lexicon_shape():
+    assert len(CONCEPTS) >= 100
+    for name, forms in CONCEPTS.items():
+        assert len(forms) >= 3, name
+        assert len(set(forms)) == len(forms), name
+
+
+def test_pairs_are_paraphrases_not_copies():
+    rng = np.random.default_rng(0)
+    pairs = make_pairs(50, rng)
+    assert all(q != d for q, d in pairs)
+    # deterministic given the seed
+    pairs2 = make_pairs(50, np.random.default_rng(0))
+    assert pairs == pairs2
+
+
+def test_holdout_zero_token_overlap():
+    """The eval set's core property: query and its relevant doc share NO analyzed
+    tokens — any retrieval success is semantic, not lexical."""
+    an = Analyzer(RAGConfig())
+    docs, queries, rel = make_paraphrase_holdout(n_docs=32, seed=5)
+    assert len(docs) == len(queries) == len(rel) == 32
+    for j, q in enumerate(queries):
+        overlap = set(an.tokenize(q)) & set(an.tokenize(docs[rel[j]]))
+        assert not overlap, (q, docs[rel[j]], overlap)
+
+
+@needs_weights
+def test_packaged_encoder_loads_and_is_cached():
+    cfg = RAGConfig()
+    e1 = load_default_encoder(cfg)
+    e2 = load_default_encoder(cfg)
+    assert e1 is not None and e1 is e2  # singleton: no recompiles per facade
+    assert e1.dim == 1024
+
+
+@needs_weights
+def test_encoder_beats_bowhash_on_paraphrases_by_wide_margin():
+    """Round-1 verdict 'done' bar: dense-only recall@10 on a held-out paraphrase set
+    (no vocabulary overlap) where the encoder beats BoW by a wide margin."""
+    enc = load_default_encoder(RAGConfig())
+    r_enc = paraphrase_recall_at_k(enc, k=10, n_docs=48, seed=31)
+    r_bow = paraphrase_recall_at_k(BowHashEmbedder(dim=1024), k=10, n_docs=48, seed=31)
+    assert r_enc >= 0.9, r_enc
+    assert r_bow <= 0.45, r_bow  # chance-level: zero overlap = zero cosine signal
+    assert r_enc - r_bow >= 0.45
+
+
+@needs_weights
+def test_auto_backend_resolves_to_encoder():
+    from triple_hybrid_rag_tpu.models.encoder import EncoderEmbedder
+
+    assert isinstance(get_default_embedder(RAGConfig()), EncoderEmbedder)
+    assert isinstance(
+        get_default_embedder(RAGConfig(embedder_backend="bowhash")), BowHashEmbedder
+    )
+    assert isinstance(
+        get_default_embedder(RAGConfig(embedder_backend="encoder")), EncoderEmbedder
+    )
+
+
+@needs_weights
+def test_full_pipeline_paraphrase_retrieval_and_safety_threshold():
+    """RAG facade with the auto (trained-encoder) default: zero-overlap paraphrase
+    queries retrieve their documents at rank 1 through the WHOLE funnel, and the
+    reference's 0.6 safety threshold separates relevant from irrelevant MaxSim
+    rerank scores (the recalibration the round-1 verdict asked for)."""
+    from triple_hybrid_rag_tpu.facade import RAG
+
+    cfg = RAGConfig(
+        capacity_round=64, graph_enabled=False, safety_threshold=0.0,
+        denoise_alpha=0.0, embedding_dim=1024, embedding_dim_full=1024,
+        embedding_dtype="float32", maxsim_dim=128, final_top_k=5,
+    )
+    rag = RAG(config=cfg)
+    docs, queries, rel = make_paraphrase_holdout(n_docs=16, seed=77)
+    for i, d in enumerate(docs):
+        rag.ingest_text(d + f" marker{i}x.", name=f"p{i}.md")
+    hits = 0
+    rel_scores, irr_scores = [], []
+    for j, q in enumerate(queries):
+        r = rag.query(q)
+        marker = f"marker{rel[j]}x"
+        hits += bool(r.results and marker in r.results[0].text)
+        for x in r.results:
+            (rel_scores if marker in x.text else irr_scores).append(x.rerank_score)
+    assert hits >= 14, hits  # >= 87% rank-1 through the full funnel
+    assert np.percentile(rel_scores, 25) > 0.6  # relevant passes the 0.6 gate
+    assert np.percentile(irr_scores, 75) < 0.6  # irrelevant mostly fails it
+
+
+def test_training_step_learns():
+    """The recipe's step function reduces loss on the pair distribution (tiny model,
+    ~20 steps — exercises the Matryoshka + MaxSim loss terms end to end)."""
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.config import get_settings
+    from triple_hybrid_rag_tpu.models.encoder import EncoderConfig, TextHasher
+    from triple_hybrid_rag_tpu.models.training import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    enc = EncoderConfig(
+        vocab_buckets=2048, d_model=64, n_layers=2, n_heads=4, d_mlp=128,
+        max_tokens=16, out_dim=64, token_dim=32, dtype="float32",
+    )
+    tc = TrainConfig(
+        learning_rate=2e-3, warmup_steps=5,
+        matryoshka_dims=(64, 32), maxsim_weight=0.25,
+    )
+    model, state = create_train_state(enc, tc)
+    step = make_train_step(model, tc)
+    hasher = TextHasher(enc, get_settings())
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(25):
+        pairs = make_pairs(16, rng)
+        qi, qm = hasher.encode([q for q, _ in pairs], max_tokens=12)
+        di, dm = hasher.encode([d for _, d in pairs], max_tokens=12)
+        state, m = step(state, jnp.asarray(qi), jnp.asarray(qm), jnp.asarray(di), jnp.asarray(dm))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])

@@ -206,6 +206,26 @@ def cmd_migrate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train_encoder(args: argparse.Namespace) -> int:
+    from .models.pretrain import (
+        DEFAULT_PARAMS,
+        load_default_encoder,
+        paraphrase_recall_at_k,
+        train_default_encoder,
+    )
+
+    out = args.out or DEFAULT_PARAMS
+    path, metrics = train_default_encoder(
+        out_path=out, steps=args.steps, batch_size=args.batch_size, seed=args.seed
+    )
+    print(f"saved {path} (final loss {metrics['loss']:.4f}, acc {metrics['accuracy']:.3f})")
+    emb = load_default_encoder(path=path)
+    if emb is not None:
+        r = paraphrase_recall_at_k(emb, k=10)
+        print(f"held-out paraphrase recall@10 (dense-only): {r:.3f}")
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from .facade import RAG
     from .server import serve
@@ -280,6 +300,16 @@ def main(argv=None) -> int:
                    help="re-embed every chunk text (full backfill, not re-truncation)")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_migrate)
+
+    p = sub.add_parser(
+        "train-encoder",
+        help="train the packaged default encoder on generated paraphrase pairs",
+    )
+    p.add_argument("--out", default=None, help="output npz (default: packaged path)")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_encoder)
 
     p = sub.add_parser("serve", help="HTTP serving host (/query /ingest /metrics)")
     p.add_argument("--host", default="127.0.0.1")

@@ -71,10 +71,12 @@ class RAGConfig:
     graph_weight: float = 1.0
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
-    # NOTE: the threshold applies to rerank scores and is calibrated to the reranker:
-    # with trained encoders / LLM rerankers ([0,1] relevance) the reference's 0.6 holds;
-    # with the default hash token embedders MaxSim ~ query-token recall, where ~0.35
-    # separates paraphrases from garbage (see examples/basic_usage.py).
+    # NOTE: the threshold applies to rerank scores and is calibrated to the reranker.
+    # With the PACKAGED TRAINED ENCODER (the "auto" default), MaxSim rerank scores on
+    # the held-out paraphrase set separate as relevant p10=0.80 vs irrelevant
+    # p90=0.45 — the reference's 0.6 holds (measured, models/pretrain.py recipe).
+    # With the bowhash fallback MaxSim ~ query-token recall, where ~0.35 separates
+    # paraphrases from garbage (see examples/basic_usage.py).
     safety_threshold: float = 0.6
     denoise_alpha: float = 0.6
     conformal_alpha: float = 0.6  # percentile variant: keep score >= pct(scores, (1-a)*100)
@@ -95,6 +97,11 @@ class RAGConfig:
     use_tiktoken: bool = False  # reference prod uses len//4 heuristic; lib uses tiktoken
 
     # ---- embeddings (reference embedder.py:31-120) ----
+    embedder_backend: str = "auto"  # "auto" | "encoder" | "bowhash" | "hash"
+    # auto = the packaged TRAINED encoder (models/data/encoder.npz) when present —
+    # paraphrase-capable dense/token embeddings, the reference's Qwen3-VL-Embedding
+    # analogue running on-mesh — falling back to bowhash; an HTTP embed_api_base or an
+    # explicit embedder argument always takes precedence over this field.
     embedding_dim_full: int = 2048  # model-native dim before Matryoshka truncation
     embedding_dim: int = 1024  # Matryoshka prefix-truncated + re-L2-normalized
     embedding_dtype: str = "bfloat16"  # HBM-resident matrix dtype

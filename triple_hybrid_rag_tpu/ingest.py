@@ -36,7 +36,7 @@ from .index.bm25_index import BM25Index, build_bm25_index
 from .index.dense_index import DenseIndex, build_dense_index
 from .index.graph_index import GraphIndex, build_graph_index
 from .loader import DocumentLoader
-from .models.embedder import BowHashEmbedder, Embedder, FailSoftEmbedder
+from .models.embedder import Embedder, FailSoftEmbedder, get_default_embedder
 from .models.entity_extractor import EntityStore, RuleBasedExtractor
 from .observability.metrics import rag_metrics
 from .types import (
@@ -79,9 +79,19 @@ class Ingestor:
         self.config = config or get_settings()
         self.corpus = corpus or CorpusStore()
         self.embedder = FailSoftEmbedder(
-            embedder or BowHashEmbedder(dim=self.config.embedding_dim_full, config=self.config)
+            embedder or get_default_embedder(self.config)
         )
-        self.loader = loader or DocumentLoader()
+        if loader is None:
+            # OCR-capable by default: HTTP vision (when configured) -> pytesseract ->
+            # built-in glyph recognizer -> text-only loader (ocr_glyph ladder)
+            from .ocr import OCRProcessor
+            from .ocr_glyph import get_default_ocr_fn
+
+            ocr_fn = get_default_ocr_fn(self.config)
+            loader = DocumentLoader(
+                ocr_processor=OCRProcessor(ocr_fn) if ocr_fn is not None else None
+            )
+        self.loader = loader
         self.chunker = HierarchicalChunker(self.config)
         self.extractor = extractor or RuleBasedExtractor(self.config)
         self.entity_store = entity_store or EntityStore()

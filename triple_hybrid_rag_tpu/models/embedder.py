@@ -194,6 +194,32 @@ class BowHashEmbedder(_ImageHashMixin):
         return out
 
 
+def get_default_embedder(config: Optional[RAGConfig] = None) -> Embedder:
+    """Resolve ``config.embedder_backend`` to an Embedder instance.
+
+    "auto" prefers the packaged trained encoder (paraphrase-capable on-mesh model,
+    ``models/pretrain.py``) and falls back to :class:`BowHashEmbedder`; "encoder"
+    requires the packaged weights and raises without them. Explicit embedder
+    arguments and HTTP ``embed_api_base`` wiring both bypass this factory.
+    """
+    cfg = config or get_settings()
+    backend = cfg.embedder_backend
+    if backend in ("auto", "encoder"):
+        from .pretrain import load_default_encoder
+
+        enc = load_default_encoder(cfg)
+        if enc is not None:
+            return enc
+        if backend == "encoder":
+            raise RuntimeError(
+                "embedder_backend='encoder' but no packaged weights found "
+                "(models/data/encoder.npz); run `thr train-encoder` first"
+            )
+    if backend == "hash":
+        return HashEmbedder(dim=cfg.embedding_dim_full)
+    return BowHashEmbedder(dim=cfg.embedding_dim_full, config=cfg)
+
+
 class FailSoftEmbedder:
     """Wrapper adding the reference's graceful-degradation ladder to any embedder:
     per-item failures in bulk embedding become zero vectors and are reported via

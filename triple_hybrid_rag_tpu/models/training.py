@@ -36,6 +36,13 @@ class TrainConfig:
     weight_decay: float = 0.01
     temperature: float = 0.05
     warmup_steps: int = 100
+    # Matryoshka prefix training (reference semantics: prefix-truncate + renormalize,
+    # rag2/embedder.py:40-68): InfoNCE is averaged over these pooled-embedding prefix
+    # widths so truncated vectors stay retrieval-quality. () = full width only.
+    matryoshka_dims: Tuple[int, ...] = ()
+    # weight of the token-level MaxSim InfoNCE term (trains the late-interaction head,
+    # ColBERT-style); 0 = pooled-only training.
+    maxsim_weight: float = 0.0
 
 
 def training_mesh(n_devices: Optional[int] = None, tp: int = 2) -> Mesh:
@@ -122,14 +129,41 @@ def make_train_step(model: Encoder, train_cfg: TrainConfig, mesh: Optional[Mesh]
     is given. Returns (new_state, metrics dict)."""
     temp = train_cfg.temperature
 
-    def loss_fn(params, q_ids, q_mask, d_ids, d_mask):
-        q, _ = model.apply(params, q_ids, q_mask)
-        d, _ = model.apply(params, d_ids, d_mask)
+    def _info_nce(q, d):
         logits = (q @ d.T) / temp  # [B, B]; in-batch negatives
         labels = jnp.arange(logits.shape[0])
         l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
         l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
-        loss = 0.5 * (l_qd + l_dq)
+        return 0.5 * (l_qd + l_dq), logits
+
+    def loss_fn(params, q_ids, q_mask, d_ids, d_mask):
+        q, q_tok = model.apply(params, q_ids, q_mask)
+        d, d_tok = model.apply(params, d_ids, d_mask)
+        dims = train_cfg.matryoshka_dims or (q.shape[-1],)
+        loss = 0.0
+        logits = None
+        for dim in dims:
+            qp = q[:, :dim]
+            dp_ = d[:, :dim]
+            qp = qp / jnp.maximum(jnp.linalg.norm(qp, axis=-1, keepdims=True), 1e-6)
+            dp_ = dp_ / jnp.maximum(jnp.linalg.norm(dp_, axis=-1, keepdims=True), 1e-6)
+            l, lg = _info_nce(qp, dp_)
+            loss = loss + l / len(dims)
+            if logits is None:  # accuracy reported at the full width
+                logits = lg
+        if train_cfg.maxsim_weight > 0:
+            # token-level late-interaction InfoNCE: score(i, j) = mean over i's query
+            # tokens of their best match among j's doc tokens (ColBERT objective) —
+            # this is what makes the MaxSim rerank head genuinely trained
+            sim = jnp.einsum("iqd,jtd->ijqt", q_tok, d_tok)  # [B, B, Tq, Td]
+            best = jnp.max(sim, axis=-1)  # [B, B, Tq]
+            qm = q_mask.astype(jnp.float32)
+            denom = jnp.maximum(qm.sum(axis=1), 1.0)  # [B]
+            ms = (best * qm[:, None, :]).sum(axis=-1) / denom[:, None]  # [B, B]
+            labels = jnp.arange(ms.shape[0])
+            l_ms = optax.softmax_cross_entropy_with_integer_labels(ms / temp, labels).mean()
+            loss = loss + train_cfg.maxsim_weight * l_ms
+        labels = jnp.arange(logits.shape[0])
         acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
         return loss, acc
 

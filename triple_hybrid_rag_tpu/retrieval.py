@@ -33,7 +33,7 @@ from .config import RAGConfig, get_settings
 from .corpus import CorpusStore
 from .index.bm25_index import BM25Index, build_bm25_index
 from .index.dense_index import DenseIndex, build_dense_index, truncate_matryoshka
-from .models.embedder import BowHashEmbedder, Embedder
+from .models.embedder import BowHashEmbedder, Embedder, get_default_embedder
 from .models.planner import QueryPlanner, get_planner
 from .models.reranker import Reranker, get_reranker
 from .ops.fusion import (
@@ -70,9 +70,7 @@ class Retriever:
         self.config = config or get_settings()
         self.corpus = corpus
         self.analyzer = Analyzer(self.config)
-        self.embedder = embedder or BowHashEmbedder(
-            dim=self.config.embedding_dim_full, config=self.config
-        )
+        self.embedder = embedder or get_default_embedder(self.config)
         self.planner = planner or get_planner(self.config)
         self.graph_index = graph_index
 
@@ -155,7 +153,7 @@ class Retriever:
         self.config = config
         self.corpus = corpus
         self.analyzer = Analyzer(config)
-        self.embedder = embedder or BowHashEmbedder(dim=config.embedding_dim_full, config=config)
+        self.embedder = embedder or get_default_embedder(config)
         self.planner = planner or get_planner(config)
         self.bm25_index = bm25_index
         self.dense_index = dense_index
