@@ -142,3 +142,35 @@ def test_embedding_failure_degrades_to_zero_vectors(cfg, doc_file):
     res = ing.ingest_file(doc_file)
     assert res.status == IngestionStatus.COMPLETED  # graceful degradation
     assert ing.embedder.last_errors  # failures recorded
+
+
+def test_embedder_dim_differs_from_config_full_dim(cfg):
+    """Regression: the staging matrix must size to the embedder's ACTUAL width.
+
+    The packaged trained encoder is 1024-native while embedding_dim_full
+    defaults to 2048 (the reference's API model); sizing the matrix from config
+    crashed `RAG()` out of the box with a broadcast error (round 2)."""
+
+    class NarrowEmbedder:
+        dim = cfg.embedding_dim  # narrower than cfg.embedding_dim_full
+
+        def embed_texts(self, texts):
+            import numpy as np
+
+            out = np.zeros((len(texts), self.dim), np.float32)
+            out[:, 0] = 1.0
+            return out
+
+        def embed_query(self, text):
+            import numpy as np
+
+            v = np.zeros(self.dim, np.float32)
+            v[0] = 1.0
+            return v
+
+    assert cfg.embedding_dim < cfg.embedding_dim_full
+    ing = Ingestor(config=cfg, embedder=NarrowEmbedder())
+    ing.ingest_text("Payment invoices settle within thirty days.", name="pay.md")
+    ret = ing.make_retriever()  # crashed before the fix
+    assert ret.dense_index is not None
+    assert ret.dense_index.dim == cfg.embedding_dim

@@ -206,3 +206,47 @@ def test_multislice_mesh_layout(cfg):
     )
     for a, b in zip(r2, base):
         assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
+
+
+def test_fused_topk_engine_parity(cfg):
+    """use_fused_topk=True (Pallas fused matmul+top-k, interpret on CPU) must
+    produce identical results to the XLA dense channel — through the whole
+    engine funnel, on the 8-shard mesh, float32 and int8."""
+    for dtype in ("float32", "int8"):
+        corpus, _ = build_fixture(cfg.replace(embedding_dtype=dtype), with_graph=False)
+        c = cfg.replace(graph_enabled=False, embedding_dtype=dtype)
+        ret = Retriever(corpus, c)
+        eng_xla = ShardedEngine(ret, corpus_mesh())
+        ret_f = Retriever(corpus, c.replace(use_fused_topk=True))
+        eng_fused = ShardedEngine(ret_f, corpus_mesh())
+        queries = ["invoice payment settlement", "contract termination notice",
+                   "password reset security", "fox forest habitat"]
+        r_x = eng_xla.retrieve_batch(queries)
+        r_f = eng_fused.retrieve_batch(queries)
+        for a, b in zip(r_x, r_f):
+            assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results], dtype
+            np.testing.assert_allclose(
+                [x.final_score for x in a.results],
+                [x.final_score for x in b.results], rtol=1e-5,
+            )
+
+
+def test_fused_topk_engine_scoped_parity(cfg):
+    """Collection-scoped queries through the fused kernel's in-kernel cid mask."""
+    from triple_hybrid_rag_tpu.facade import RAG
+
+    c = cfg.replace(
+        graph_enabled=False, safety_threshold=0.0, denoise_enabled=False
+    )
+    rags = {}
+    for fused in (False, True):
+        r = RAG(config=c.replace(use_fused_topk=fused))
+        r.ingest_text("Payment invoices settle within thirty days at Tenant A.",
+                      name="a1.md", collection="tenant_a")
+        r.ingest_text("Payment invoices settle within ninety days at Tenant B.",
+                      name="b1.md", collection="tenant_b")
+        rags[fused] = r
+    for coll in (None, "tenant_a", "tenant_b", "nope"):
+        a = rags[False].query_batch(["payment invoices settle"], collections=[coll])[0]
+        b = rags[True].query_batch(["payment invoices settle"], collections=[coll])[0]
+        assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results], coll

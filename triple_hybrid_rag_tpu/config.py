@@ -187,6 +187,12 @@ class RAGConfig:
     # this dev chip's tunnel the kernels time identically to XLA's fusions; the flag
     # exists for locally-attached hardware where the explicit schedules can win.
     use_pallas: bool = False
+    # Fused matmul+top-k dense channel (ops/pallas/fused_topk.py): never
+    # materializes the f32[B, N] score matrix — at 8M rows x batch 64 that matrix
+    # is 2 GB of HBM, so the fusion is what lets large corpora fit on one chip.
+    # Exact (id-bit-parity incl. ties) vs the XLA path; auto-falls back to the
+    # XLA path on CPU hosts unless the platform runs Pallas natively.
+    use_fused_topk: bool = False
 
     @classmethod
     def from_env(cls, **overrides: object) -> "RAGConfig":

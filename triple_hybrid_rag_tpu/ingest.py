@@ -257,6 +257,13 @@ class Ingestor:
         texts = self.corpus.child_texts()
         bm25 = build_bm25_index(texts, cfg) if cfg.lexical_enabled else None
         dense = None
+        # The staging matrix is sized by the embedder's ACTUAL output width, not
+        # cfg.embedding_dim_full: the packaged trained encoder is 1024-native while
+        # the config default (2048) describes the reference's API model — sizing by
+        # config crashed `RAG()` out of the box (regression test: test_ingest.py
+        # test_default_encoder_dim_mismatch). Matryoshka truncation to
+        # cfg.embedding_dim happens inside build_dense_index either way.
+        dim_full = int(getattr(self.embedder, "dim", 0) or cfg.embedding_dim_full)
         if cfg.semantic_enabled:
             cached = self._dense_cache if incremental else None
             if cached is not None and (
@@ -265,16 +272,14 @@ class Ingestor:
                 cached = None  # config changed or corpus rebuilt: full build
             if cached is not None:
                 new_children = self.corpus.children[cached.n_docs :]
-                new_vecs = np.zeros(
-                    (len(new_children), cfg.embedding_dim_full), np.float32
-                )
+                new_vecs = np.zeros((len(new_children), dim_full), np.float32)
                 for i, c in enumerate(new_children):
                     v = self.embeddings.get(c.chunk_id)
                     if v is not None:
                         new_vecs[i] = v
                 dense = cached.append(new_vecs)
             else:
-                vecs = np.zeros((len(self.corpus), cfg.embedding_dim_full), np.float32)
+                vecs = np.zeros((len(self.corpus), dim_full), np.float32)
                 for c in self.corpus.children:
                     v = self.embeddings.get(c.chunk_id)
                     if v is not None:

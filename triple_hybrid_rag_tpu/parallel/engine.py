@@ -297,6 +297,10 @@ class ShardedEngine:
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
+        use_fused = use_sem and cfg.use_fused_topk
+        # Pallas compiles natively on TPU; on CPU hosts (tests, virtual meshes)
+        # the kernel runs in interpret mode so the fused path stays exercisable.
+        fused_interpret = jax.devices()[0].platform == "cpu"
         use_tiering = cfg.lexical_tiering and self.lexical_mode == "sorted"
         l_small = min(cfg.bm25_small_window, self.lex_l_max)
         use_maxsim = cfg.rerank_enabled and self.maxsim_tokens is not None
@@ -381,7 +385,21 @@ class ShardedEngine:
                 lex_scores = jnp.zeros((batch, 1), jnp.float32)
 
             # ---- dense (one batched MXU matmul) ----
-            if use_int8:
+            if use_fused:
+                # Pallas fused matmul + bucket-max: the f32[B, n_loc] score
+                # matrix never reaches HBM (ops/pallas/fused_topk.py). Exact:
+                # ids bit-identical to the XLA path below, ties included.
+                from ..ops.pallas.fused_topk import fused_dense_topk
+
+                d_ids, d_vals = fused_dense_topk(
+                    embeddings, valid, q_vec, k_sem,
+                    scales=dense_scales if use_int8 else None,
+                    collection_of=collection_of if scoped else None,
+                    coll_cid=coll_cid if scoped else None,
+                    interpret=fused_interpret,
+                )
+                sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
+            elif use_int8:
                 from ..index.dense_index import dense_scores_int8_batch
 
                 scores = dense_scores_int8_batch(embeddings, dense_scales, q_vec)
@@ -390,7 +408,7 @@ class ShardedEngine:
                     q_vec.astype(embeddings.dtype), embeddings.T,
                     preferred_element_type=jnp.float32,
                 )  # [B, n_loc]
-            if use_sem:
+            if use_sem and not use_fused:
                 def dense_top(sc, b):
                     m = row_mask_for(b)
                     v = valid if m is None else valid & m
@@ -398,7 +416,7 @@ class ShardedEngine:
 
                 d_ids, d_vals = jax.vmap(dense_top)(scores, jnp.arange(batch))
                 sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
-            else:
+            elif not use_sem:
                 sem_ids = jnp.full((batch, 1), -1, jnp.int32)
                 sem_scores = jnp.zeros((batch, 1), jnp.float32)
 
