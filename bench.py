@@ -63,6 +63,9 @@ N_SINGLE = int(os.environ.get("BENCH_QUERIES", 20))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8
 N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", 20000))
+# fused matmul+top-k dense channel (ops/pallas/fused_topk.py): auto = on for real
+# accelerators, off for CPU hosts (interpret-mode Pallas would dominate)
+FUSED_ENV = os.environ.get("BENCH_FUSED", "auto")
 GRAPH_FRAC = float(os.environ.get("BENCH_GRAPH_FRAC", 0.3))  # graph-shaped queries
 BASELINE_P50_MS = 300.0  # reference retrieval p50 (ARCHITECTURE.md:386)
 
@@ -254,9 +257,12 @@ def make_query_texts(rows, term_ids_doc, rng, graph_frac=GRAPH_FRAC):
 
 
 def main():
+    fused = (
+        jax.devices()[0].platform != "cpu" if FUSED_ENV == "auto" else FUSED_ENV == "1"
+    )
     cfg = RAGConfig(
         capacity_round=1024, embedding_dim=DIM, embedding_dim_full=DIM,
-        embedding_dtype=DTYPE,
+        embedding_dtype=DTYPE, use_fused_topk=fused,
         maxsim_doc_tokens=int(os.environ.get("BENCH_MAXSIM_TOKENS", 32)),
         maxsim_dim=64, maxsim_query_tokens=16,
         safety_threshold=0.0, graph_enabled=True,
@@ -391,6 +397,7 @@ def main():
         "embedding_dim": DIM,
         "n_entities": N_ENTITIES,
         "graph_enabled": True,
+        "fused_topk": bool(fused),
         "graph_query_fraction": GRAPH_FRAC,
         "sanity_self_retrieval": bool(sanity_ok),
         "sanity_self_retrieval_frac": round(sanity_frac, 3),

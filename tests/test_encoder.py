@@ -86,9 +86,10 @@ def test_train_step_reduces_loss():
     h = TextHasher(TINY, RAGConfig())
     queries = [f"alpha{i} beta{i} question" for i in range(8)]
     docs = [f"alpha{i} beta{i} document text" for i in range(8)]
-    q_ids, q_mask = h.encode(queries)
-    d_ids, d_mask = h.encode(docs)
-    args = (jnp.asarray(q_ids), jnp.asarray(q_mask), jnp.asarray(d_ids), jnp.asarray(d_mask))
+    from triple_hybrid_rag_tpu.models.training import encode_batch_with_anchors
+
+    args = (*encode_batch_with_anchors(h, queries, TINY),
+            *encode_batch_with_anchors(h, docs, TINY))
     state, m0 = step(state, *args)
     first = float(m0["loss"])
     for _ in range(40):
@@ -114,10 +115,13 @@ def test_train_step_multi_dp(small_config):
     model, state = create_train_state(TINY, mesh=mesh)
     step = make_train_step(model, TrainConfig(), mesh)
     h = TextHasher(TINY, RAGConfig())
-    q_ids, q_mask = h.encode([f"q {i}" for i in range(8)])
-    d_ids, d_mask = h.encode([f"d {i}" for i in range(8)])
-    state, m = step(state, jnp.asarray(q_ids), jnp.asarray(q_mask),
-                    jnp.asarray(d_ids), jnp.asarray(d_mask))
+    from triple_hybrid_rag_tpu.models.training import encode_batch_with_anchors
+
+    state, m = step(
+        state,
+        *encode_batch_with_anchors(h, [f"q{i} term{i}" for i in range(8)], TINY),
+        *encode_batch_with_anchors(h, [f"d{i} term{i} text" for i in range(8)], TINY),
+    )
     assert np.isfinite(float(m["loss"]))
 
 

@@ -51,9 +51,10 @@ def test_trained_encoder_drives_retrieval(cfg):
 
     embedder = EncoderEmbedder(TINY, cfg)
     h = embedder.hasher
-    q_ids, q_mask = h.encode([q for q, _ in PAIRS])
-    d_ids, d_mask = h.encode([d for _, d in PAIRS])
-    args = (jnp.asarray(q_ids), jnp.asarray(q_mask), jnp.asarray(d_ids), jnp.asarray(d_mask))
+    from triple_hybrid_rag_tpu.models.training import encode_batch_with_anchors
+
+    args = (*encode_batch_with_anchors(h, [q for q, _ in PAIRS], TINY),
+            *encode_batch_with_anchors(h, [d for _, d in PAIRS], TINY))
     for _ in range(60):
         state, metrics = step(state, *args)
     assert float(metrics["accuracy"]) == 1.0

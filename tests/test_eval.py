@@ -116,3 +116,39 @@ def test_hard_negative_corpus_quality(small_config):
     ret = Retriever(data.corpus, cfg)
     m = evaluate(lambda q: ret.retrieve(q, top_k=10), data.queries, k=10)
     assert m["recall@10"] > 0.5  # ranking survives lexical-overlap decoys
+
+
+def test_stdlib_eval_corpus_is_independent():
+    """Inverse-cloze eval over stdlib docstrings: text the builder did not write.
+    The held-out query sentence must be REMOVED from its indexed document."""
+    from triple_hybrid_rag_tpu.eval import evaluate, make_stdlib_eval
+
+    cfg = RAGConfig(
+        capacity_round=64, embedding_dim=64, embedding_dim_full=128,
+        embedding_dtype="float32", safety_threshold=0.0, graph_enabled=False,
+        embedder_backend="bowhash",
+    )
+    data = make_stdlib_eval(cfg, n_docs=60, n_queries=20, seed=3)
+    assert len(data.queries) >= 10
+    by_id = {c.chunk_id: c for c in data.corpus.children}
+    for q in data.queries[:5]:
+        assert q.kind == "cloze"
+        for cid in q.relevant_chunk_ids:
+            assert q.text not in by_id[cid].text  # genuinely held out
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+
+    ret = Retriever(data.corpus, cfg)
+    m = evaluate(lambda q: ret.retrieve(q, top_k=10), data.queries, k=10)
+    assert m["recall@10"] > 0.5  # real-text retrieval works at all
+
+
+def test_maxsim_query_weights_downweight_function_words():
+    from triple_hybrid_rag_tpu.analyzer import Analyzer
+    from triple_hybrid_rag_tpu.retrieval import FUNCTION_WORD_WEIGHT, maxsim_query_weights
+
+    an = Analyzer(RAGConfig())
+    w = maxsim_query_weights("when do invoices get settled", an, max_tokens=8)
+    toks = an.tokenize("when do invoices get settled")
+    assert toks[:3] == ["invoice", "get", "settled"]
+    assert w[0] == 1.0 and w[1] == FUNCTION_WORD_WEIGHT and w[2] == 1.0
+    assert np.all(w[len(toks):] == 0.0)  # padding slots

@@ -144,8 +144,16 @@ def test_training_step_learns():
     losses = []
     for _ in range(25):
         pairs = make_pairs(16, rng)
-        qi, qm = hasher.encode([q for q, _ in pairs], max_tokens=12)
-        di, dm = hasher.encode([d for _, d in pairs], max_tokens=12)
-        state, m = step(state, jnp.asarray(qi), jnp.asarray(qm), jnp.asarray(di), jnp.asarray(dm))
+        from triple_hybrid_rag_tpu.models.encoder import anchor_arrays
+
+        q_texts = [q for q, _ in pairs]
+        d_texts = [d for _, d in pairs]
+        qi, qm = hasher.encode(q_texts, max_tokens=12)
+        di, dm = hasher.encode(d_texts, max_tokens=12)
+        qap, qat = anchor_arrays(q_texts, enc, hasher.analyzer, max_tokens=12)
+        dap, dat = anchor_arrays(d_texts, enc, hasher.analyzer, max_tokens=12)
+        state, m = step(state, jnp.asarray(qi), jnp.asarray(qm), jnp.asarray(qap),
+                        jnp.asarray(qat), jnp.asarray(di), jnp.asarray(dm),
+                        jnp.asarray(dap), jnp.asarray(dat))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])

@@ -115,6 +115,31 @@ def s_stem(token: str) -> str:
     return token
 
 
+def stem_family(token: str) -> str:
+    """Aggressive morphological family key — for *matching*, never for indexing.
+
+    Collapses verbal/plural inflections to a shared key (settled/settles/settling/
+    settle -> "settl"; running/run -> "run") so the encoder's identity anchors
+    (``models/encoder.py``) treat morphological variants as the same lexeme. Unlike
+    :func:`s_stem` (which feeds the BM25 vocabulary and must stay conservative),
+    over-stemming here only blends *anchor directions* — worst case a rare false
+    conflation adds one spurious high token-similarity, it cannot corrupt an index.
+    """
+    t = s_stem(token)
+    n = len(t)
+    if n > 5 and t.endswith("ing"):
+        t = t[:-3]
+    elif n > 4 and t.endswith("ed"):
+        t = t[:-2]
+    elif n > 5 and t.endswith(("ava", "ando", "endo", "indo")):  # pt gerund/imperfect
+        t = t[: -4 if t.endswith(("ando", "endo", "indo")) else -3]
+    if len(t) > 3 and t.endswith("e"):
+        t = t[:-1]  # settle -> settl (merges with settled/settling -> settl)
+    if len(t) > 3 and t[-1] == t[-2]:
+        t = t[:-1]  # runn -> run
+    return t
+
+
 @dataclass
 class Analyzer:
     """Stateless text -> token-string pipeline."""

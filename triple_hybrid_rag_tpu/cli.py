@@ -149,12 +149,20 @@ def cmd_bench(args: argparse.Namespace) -> int:
 
 
 def cmd_eval(args: argparse.Namespace) -> int:
-    """Quality ladder over the five BASELINE configs (run_harness.py analogue)."""
-    from .eval import evaluate_baseline_configs
+    """Quality ladder over the five BASELINE configs (run_harness.py analogue).
 
-    results = evaluate_baseline_configs(
-        k=args.k, distractors=args.distractors, hard_negatives=args.hard_negatives
-    )
+    ``--stdlib`` switches to the independent inverse-cloze corpus harvested from
+    Python stdlib docstrings (text the builder did not author)."""
+    if getattr(args, "stdlib", False):
+        from .eval import evaluate_stdlib
+
+        results = evaluate_stdlib(k=args.k, n_docs=args.stdlib_docs)
+    else:
+        from .eval import evaluate_baseline_configs
+
+        results = evaluate_baseline_configs(
+            k=args.k, distractors=args.distractors, hard_negatives=args.hard_negatives
+        )
     if args.json:
         print(json.dumps(results))
         return 0
@@ -285,6 +293,9 @@ def main(argv=None) -> int:
     p.add_argument("--distractors", type=int, default=30)
     p.add_argument("--hard-negatives", type=int, default=0,
                    help="per-topic confusables reusing topic vocabulary (ranking stress)")
+    p.add_argument("--stdlib", action="store_true",
+                   help="independent corpus: inverse-cloze over stdlib docstrings")
+    p.add_argument("--stdlib-docs", type=int, default=500)
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_eval)
 

@@ -72,9 +72,12 @@ class RAGConfig:
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
     # NOTE: the threshold applies to rerank scores and is calibrated to the reranker.
-    # With the PACKAGED TRAINED ENCODER (the "auto" default), MaxSim rerank scores on
-    # the held-out paraphrase set separate as relevant p10=0.80 vs irrelevant
-    # p90=0.45 — the reference's 0.6 holds (measured, models/pretrain.py recipe).
+    # With the PACKAGED TRAINED ENCODER (the "auto" default, identity-anchored),
+    # raw MaxSim is renormalized by the embedder-declared divisor
+    # (ops.maxsim.calibrate_maxsim = anchor_token_w2) so a full lexical match ~ 1.0;
+    # on the zero-overlap paraphrase holdout the calibrated scores separate as
+    # relevant p5=0.68 vs irrelevant p95=0.46 — the reference's 0.6 holds (measured,
+    # models/pretrain.py recipe, 16/16 rank-1).
     # With the bowhash fallback MaxSim ~ query-token recall, where ~0.35 separates
     # paraphrases from garbage (see examples/basic_usage.py).
     safety_threshold: float = 0.6

@@ -82,7 +82,7 @@ def build_maxsim_index(
     mask = np.zeros((p_pad, td), bool)
     for i in range(0, n, batch_size):
         batch = list(parent_texts[i : i + batch_size])
-        emb = token_embedder.token_embeddings(batch)  # [b, T, D*]
+        emb = token_embedder.token_embeddings(batch, dim=d)  # [b, T, <=d]
         t_avail = min(td, emb.shape[1])
         d_avail = min(d, emb.shape[2])
         toks[i : i + len(batch), :t_avail, :d_avail] = emb[:, :t_avail, :d_avail]

@@ -48,6 +48,15 @@ class EncoderConfig:
     out_dim: int = 2048  # pooled embedding dim (pre-Matryoshka truncation)
     token_dim: int = 128  # per-token dim for MaxSim
     dtype: str = "bfloat16"
+    # Identity-anchor blend (squared weight of the deterministic component; 0 = off).
+    # Each token vector becomes norm(a*dir(stem) + b*ctx): two occurrences of the
+    # same lexeme then score cos >= ~a^2 regardless of context, which keeps the
+    # rerank gate robust on text far from the training distribution — the trained
+    # contextual part only ever ADDS similarity for paraphrases. Same idea at the
+    # pooled level with a BoW-of-stem-directions component (the proven 0.85+
+    # recall geometry) so the dense channel can never rank below lexical overlap.
+    anchor_token_w2: float = 0.6
+    anchor_pool_w2: float = 0.5
 
     @property
     def compute_dtype(self):
@@ -85,6 +94,105 @@ class TextHasher:
                 ids[i, j] = self._tid(tok)
                 mask[i, j] = True
         return ids, mask
+
+
+# ---------------------------------------------------------------------------
+# Identity anchors: deterministic per-lexeme unit directions blended into both
+# encoder heads. norm(a*dir(key) + b*ctx) guarantees two occurrences of the same
+# lexeme (or of lexicon synonyms sharing a group key) score cos >= ~a^2
+# regardless of context, so embeddings degrade to BoW-hash geometry — not to
+# noise — on text far from the training distribution (regression: round-2's
+# unanchored default refused every natural-text query the BowHash default
+# accepted). Training blends the SAME anchors inside the loss (models/training),
+# so the contextual part learns the residual semantics given the anchors.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_DIR_CACHE: dict = {}
+_SYN_KEY_CACHE: Optional[dict] = None
+
+
+def _syn_key_map() -> dict:
+    """stem-family -> synonym-group key from the training lexicon: single-word
+    surface forms of one concept group (invoice/bill/fatura/cobranca) share one
+    anchor direction, making the deterministic component itself carry the
+    lexicon's EN<->PT synonymy."""
+    global _SYN_KEY_CACHE
+    if _SYN_KEY_CACHE is None:
+        from ..analyzer import stem_family
+        from .pretrain import CONCEPTS
+
+        m: dict = {}
+        for group, forms in CONCEPTS.items():
+            for form in forms:
+                words = form.split()
+                if len(words) == 1:
+                    m[stem_family(words[0])] = group
+        _SYN_KEY_CACHE = m
+    return _SYN_KEY_CACHE
+
+
+def anchor_key(token: str) -> str:
+    from ..analyzer import stem_family
+
+    stem = stem_family(token)
+    return _syn_key_map().get(stem, stem)
+
+
+def anchor_dir(key: str, dim: int) -> np.ndarray:
+    cache = _ANCHOR_DIR_CACHE.setdefault(dim, {})
+    v = cache.get(key)
+    if v is None:
+        seed = int.from_bytes(
+            hashlib.blake2s(("anchor:" + key).encode("utf-8"), digest_size=8).digest(),
+            "little",
+        )
+        v = np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
+        v /= max(float(np.linalg.norm(v)), 1e-12)
+        cache[key] = v
+    return v
+
+
+def anchor_arrays(
+    texts: Sequence[str], enc_cfg: EncoderConfig, analyzer: Analyzer,
+    max_tokens: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(pooled f32[B, out_dim], token f32[B, T, token_dim]) anchor components.
+
+    Pooled anchor = L2-normalized sum of the text's lexeme directions (BoW-hash
+    geometry); token anchors are per-position lexeme directions. Zero rows where
+    a text has no tokens / at padding positions."""
+    t = max_tokens or enc_cfg.max_tokens
+    apool = np.zeros((len(texts), enc_cfg.out_dim), np.float32)
+    atok = np.zeros((len(texts), t, enc_cfg.token_dim), np.float32)
+    for i, text in enumerate(texts):
+        toks = analyzer.tokenize(text)[:t]
+        if not toks:
+            continue
+        for j, token in enumerate(toks):
+            key = anchor_key(token)
+            atok[i, j] = anchor_dir(key, enc_cfg.token_dim)
+            apool[i] += anchor_dir(key, enc_cfg.out_dim)
+        apool[i] /= max(float(np.linalg.norm(apool[i])), 1e-12)
+    return apool, atok
+
+
+def blend_anchors_np(
+    enc_cfg: EncoderConfig, pooled: np.ndarray, tok: np.ndarray,
+    apool: np.ndarray, atok: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Inference-side anchor blend; the exact numpy mirror of the in-loss blend."""
+    a_t = float(np.sqrt(enc_cfg.anchor_token_w2))
+    b_t = float(np.sqrt(1.0 - enc_cfg.anchor_token_w2))
+    a_p = float(np.sqrt(enc_cfg.anchor_pool_w2))
+    b_p = float(np.sqrt(1.0 - enc_cfg.anchor_pool_w2))
+    has_tok = np.any(atok != 0, axis=-1, keepdims=True)  # [B, T, 1] anchor present
+    t_mix = a_t * atok + b_t * tok
+    t_norm = np.maximum(np.linalg.norm(t_mix, axis=-1, keepdims=True), 1e-12)
+    tok = np.where(has_tok, t_mix / t_norm, tok)
+    has_pool = np.any(apool != 0, axis=-1, keepdims=True)
+    p_mix = a_p * apool + b_p * pooled
+    p_norm = np.maximum(np.linalg.norm(p_mix, axis=-1, keepdims=True), 1e-12)
+    return np.where(has_pool, p_mix / p_norm, pooled), tok
 
 
 class Block(nn.Module):
@@ -183,6 +291,13 @@ class EncoderEmbedder:
             lambda p, ids, mask: self.model.apply(p, ids, mask)
         )
 
+    @property
+    def maxsim_calibration(self) -> float:
+        """Divisor renormalizing anchored MaxSim scores so exact match ~ 1.0
+        (see ``ops.maxsim.calibrate_maxsim``); 1.0 = no anchors, no rescale."""
+        w2 = self.enc_cfg.anchor_token_w2
+        return float(w2) if w2 > 0 else 1.0
+
     def _run(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         pooled_out: List[np.ndarray] = []
         tokens_out: List[np.ndarray] = []
@@ -191,6 +306,10 @@ class EncoderEmbedder:
             batch = list(texts[i : i + bs])
             ids, mask = self.hasher.encode(batch)
             pooled, tok = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            pooled, tok = np.asarray(pooled).copy(), np.asarray(tok).copy()
+            if self.enc_cfg.anchor_token_w2 > 0 or self.enc_cfg.anchor_pool_w2 > 0:
+                apool, atok = anchor_arrays(batch, self.enc_cfg, self.hasher.analyzer)
+                pooled, tok = blend_anchors_np(self.enc_cfg, pooled, tok, apool, atok)
             pooled_out.append(np.asarray(pooled))
             tokens_out.append(np.asarray(tok))
         return (
@@ -212,12 +331,20 @@ class EncoderEmbedder:
     def token_embeddings(
         self, texts: Sequence[str], max_tokens: Optional[int] = None, dim: Optional[int] = None
     ) -> np.ndarray:
-        """f32[N, T, token_dim] unit token embeddings (MaxSim index build / query side)."""
+        """f32[N, T, dim] unit token embeddings (MaxSim index build / query side).
+
+        ``dim`` < token_dim prefix-truncates AND re-normalizes (Matryoshka
+        semantics): without the renorm, cosines shrink by the truncated norm
+        fraction (~dim/token_dim for near-isotropic vectors) and the 0.6 safety
+        gate silently refuses everything at small maxsim_dim. Padded rows stay
+        exactly zero so downstream masks keep working."""
         out = self._run(texts)[1]
         if max_tokens is not None:
             out = out[:, :max_tokens]
-        if dim is not None:
+        if dim is not None and dim < out.shape[-1]:
             out = out[..., :dim]
+            norms = np.linalg.norm(out, axis=-1, keepdims=True)
+            out = np.where(norms > 1e-9, out / np.maximum(norms, 1e-9), 0.0)
         return out
 
 

@@ -17,11 +17,21 @@ from ..ops.fusion import minmax_normalize
 
 
 class MaxSimReranker:
-    def __init__(self, index: MaxSimIndex, config: Optional[RAGConfig] = None) -> None:
+    def __init__(
+        self,
+        index: MaxSimIndex,
+        config: Optional[RAGConfig] = None,
+        calibration: float = 1.0,
+    ) -> None:
         self.index = index
         self.config = config or get_settings()
+        # embedder-declared score renormalization (ops.maxsim.calibrate_maxsim):
+        # anchored encoders compress raw MaxSim, this restores 0.6-gate semantics
+        self.calibration = calibration
 
     def score(self, query_ctx: dict, ids: jax.Array, fused_scores: jax.Array) -> jax.Array:
+        from ..ops.maxsim import calibrate_maxsim
+
         q_tokens = query_ctx.get("q_tokens")
         q_mask = query_ctx.get("q_mask")
         if q_tokens is None or q_mask is None:
@@ -34,8 +44,13 @@ class MaxSimReranker:
 
             p_pad = self.index.tokens.shape[0]
             safe = jnp.clip(ids, 0, p_pad - 1)
-            return maxsim_scores_pallas(
-                dequantize_tokens(self.index.tokens[safe]).astype(jnp.float32),
-                self.index.mask[safe], q_tokens, q_mask, ids >= 0,
+            return calibrate_maxsim(
+                maxsim_scores_pallas(
+                    dequantize_tokens(self.index.tokens[safe]).astype(jnp.float32),
+                    self.index.mask[safe], q_tokens, q_mask, ids >= 0,
+                ),
+                self.calibration,
             )
-        return self.index.score_candidates(ids, q_tokens, q_mask)
+        return calibrate_maxsim(
+            self.index.score_candidates(ids, q_tokens, q_mask), self.calibration
+        )

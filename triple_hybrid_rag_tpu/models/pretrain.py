@@ -412,14 +412,25 @@ def train_default_encoder(
     hasher = TextHasher(train_enc_cfg, get_settings())
     rng = np.random.default_rng(seed)
 
+    from .encoder import anchor_arrays
+
     metrics = {}
     for s in range(steps):
         pairs = make_mixed_pairs(batch_size, rng)
-        q_ids, q_mask = hasher.encode([q for q, _ in pairs], max_tokens=32)
-        d_ids, d_mask = hasher.encode([d for _, d in pairs], max_tokens=32)
+        q_texts = [q for q, _ in pairs]
+        d_texts = [d for _, d in pairs]
+        q_ids, q_mask = hasher.encode(q_texts, max_tokens=32)
+        d_ids, d_mask = hasher.encode(d_texts, max_tokens=32)
+        q_ap, q_at = anchor_arrays(q_texts, train_enc_cfg, hasher.analyzer, max_tokens=32)
+        d_ap, d_at = anchor_arrays(d_texts, train_enc_cfg, hasher.analyzer, max_tokens=32)
+        # f16 wire format: anchors dominate the per-step host->device payload on
+        # tunneled dev chips (the blend upcasts on device, f16 anchors are exact
+        # enough — unit vectors with ~1e-3 components)
         state, metrics = step_fn(
             state, jnp.asarray(q_ids), jnp.asarray(q_mask),
+            jnp.asarray(q_ap, jnp.float16), jnp.asarray(q_at, jnp.float16),
             jnp.asarray(d_ids), jnp.asarray(d_mask),
+            jnp.asarray(d_ap, jnp.float16), jnp.asarray(d_at, jnp.float16),
         )
         if log_every and s % log_every == 0:
             print(
@@ -427,6 +438,9 @@ def train_default_encoder(
                 f"acc={float(metrics['accuracy']):.3f}",
                 flush=True,
             )
+        if s and s % 500 == 0:  # periodic save: a killed run keeps its progress
+            save_packaged_encoder(state.params, enc_cfg, out_path,
+                                  metrics={k: float(v) for k, v in metrics.items()})
     final = {k: float(v) for k, v in metrics.items()}
     path = save_packaged_encoder(state.params, enc_cfg, out_path, metrics=final)
     return path, final

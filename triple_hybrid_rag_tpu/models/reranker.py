@@ -109,6 +109,7 @@ def get_reranker(
     maxsim_index=None,
     llm_fn=None,
     texts_of=None,
+    maxsim_calibration: float = 1.0,
 ) -> Reranker:
     """Factory with the reference's fallback ladder (reranker.py:768 get_reranker):
     llm -> maxsim -> dot -> noop, degrading on missing prerequisites."""
@@ -118,7 +119,7 @@ def get_reranker(
     if backend == "maxsim" and maxsim_index is not None:
         from .maxsim_reranker import MaxSimReranker
 
-        inner = MaxSimReranker(maxsim_index, config)
+        inner = MaxSimReranker(maxsim_index, config, calibration=maxsim_calibration)
     elif backend in ("maxsim", "dot") and parent_embeddings is not None:
         inner = DotReranker(parent_embeddings, config)
     else:

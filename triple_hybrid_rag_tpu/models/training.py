@@ -125,9 +125,19 @@ def create_train_state(
 def make_train_step(model: Encoder, train_cfg: TrainConfig, mesh: Optional[Mesh] = None):
     """Compiled symmetric-InfoNCE step.
 
-    batch: (q_ids, q_mask, d_ids, d_mask) each [B, T], sharded P('dp', None) when a mesh
-    is given. Returns (new_state, metrics dict)."""
+    batch: (q_ids, q_mask, q_apool, q_atok, d_ids, d_mask, d_apool, d_atok) —
+    ids/mask [B, T] plus the host-computed identity-anchor arrays
+    (``encoder.anchor_arrays``), sharded P('dp', None) when a mesh is given. The
+    loss blends the anchors exactly as inference does (``blend_anchors_np``), so
+    the contextual weights are optimized FOR the blended embedding that serving
+    actually uses — training through the anchor, not beside it.
+    Returns (new_state, metrics dict)."""
     temp = train_cfg.temperature
+    enc_cfg = model.cfg
+    a_t = float(np.sqrt(enc_cfg.anchor_token_w2))
+    b_t = float(np.sqrt(1.0 - enc_cfg.anchor_token_w2))
+    a_p = float(np.sqrt(enc_cfg.anchor_pool_w2))
+    b_p = float(np.sqrt(1.0 - enc_cfg.anchor_pool_w2))
 
     def _info_nce(q, d):
         logits = (q @ d.T) / temp  # [B, B]; in-batch negatives
@@ -136,9 +146,29 @@ def make_train_step(model: Encoder, train_cfg: TrainConfig, mesh: Optional[Mesh]
         l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
         return 0.5 * (l_qd + l_dq), logits
 
-    def loss_fn(params, q_ids, q_mask, d_ids, d_mask):
+    def _blend(pooled, tok, apool, atok):
+        if enc_cfg.anchor_token_w2 > 0:
+            has = jnp.any(atok != 0, axis=-1, keepdims=True)
+            mix = a_t * atok + b_t * tok
+            # sum-of-squares + eps, NOT linalg.norm: padded token rows are exactly
+            # zero and norm's gradient at 0 is NaN (0 * NaN = NaN poisons the loss)
+            mix = mix * jax.lax.rsqrt(
+                jnp.sum(jnp.square(mix), axis=-1, keepdims=True) + 1e-12
+            )
+            tok = jnp.where(has, mix, tok)
+        if enc_cfg.anchor_pool_w2 > 0:
+            # pooled blend stays UN-normalized here: the Matryoshka loop below
+            # prefix-truncates then normalizes, matching inference (embed -> blend
+            # -> truncate_matryoshka)
+            has = jnp.any(apool != 0, axis=-1, keepdims=True)
+            pooled = jnp.where(has, a_p * apool + b_p * pooled, pooled)
+        return pooled, tok
+
+    def loss_fn(params, q_ids, q_mask, q_apool, q_atok, d_ids, d_mask, d_apool, d_atok):
         q, q_tok = model.apply(params, q_ids, q_mask)
         d, d_tok = model.apply(params, d_ids, d_mask)
+        q, q_tok = _blend(q, q_tok, q_apool, q_atok)
+        d, d_tok = _blend(d, d_tok, d_apool, d_atok)
         dims = train_cfg.matryoshka_dims or (q.shape[-1],)
         loss = 0.0
         logits = None
@@ -167,18 +197,30 @@ def make_train_step(model: Encoder, train_cfg: TrainConfig, mesh: Optional[Mesh]
         acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
         return loss, acc
 
-    def step(state: train_state.TrainState, q_ids, q_mask, d_ids, d_mask):
+    def step(state: train_state.TrainState, q_ids, q_mask, q_apool, q_atok,
+             d_ids, d_mask, d_apool, d_atok):
         if mesh is not None:
             bspec = NamedSharding(mesh, P("dp", None))
             q_ids = jax.lax.with_sharding_constraint(q_ids, bspec)
             d_ids = jax.lax.with_sharding_constraint(d_ids, bspec)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, q_ids, q_mask, d_ids, d_mask
+            state.params, q_ids, q_mask, q_apool, q_atok, d_ids, d_mask, d_apool, d_atok
         )
         new_state = state.apply_gradients(grads=grads)
         return new_state, {"loss": loss, "accuracy": acc}
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def encode_batch_with_anchors(hasher, texts, enc_cfg: EncoderConfig):
+    """(ids, mask, anchor_pool, anchor_tok) device-ready arrays for one text batch."""
+    from .encoder import anchor_arrays
+
+    ids, mask = hasher.encode(texts)
+    apool, atok = anchor_arrays(texts, enc_cfg, hasher.analyzer)
+    return (
+        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(apool), jnp.asarray(atok)
+    )
 
 
 def train_pairs(
@@ -198,12 +240,9 @@ def train_pairs(
     for _ in range(epochs):
         for i in range(0, len(pairs) - batch_size + 1, batch_size):
             batch = pairs[i : i + batch_size]
-            q_ids, q_mask = hasher.encode([q for q, _ in batch])
-            d_ids, d_mask = hasher.encode([d for _, d in batch])
-            state, metrics = step_fn(
-                state, jnp.asarray(q_ids), jnp.asarray(q_mask),
-                jnp.asarray(d_ids), jnp.asarray(d_mask),
-            )
+            q_batch = encode_batch_with_anchors(hasher, [q for q, _ in batch], model.cfg)
+            d_batch = encode_batch_with_anchors(hasher, [d for _, d in batch], model.cfg)
+            state, metrics = step_fn(state, *q_batch, *d_batch)
             if log_every and (i // batch_size) % log_every == 0:
                 jax.block_until_ready(metrics["loss"])
     return state, {k: float(v) for k, v in metrics.items()}

@@ -31,6 +31,25 @@ import jax.numpy as jnp
 INT8_TOKEN_SCALE = 127.0
 
 
+def calibrate_maxsim(scores: jax.Array, calibration: float) -> jax.Array:
+    """Rescale anchored-encoder MaxSim scores so the reference's 0.6 gate holds.
+
+    With identity anchors (``models/encoder.py``) a token pair sharing a lexeme
+    scores ~``anchor_token_w2`` from the anchors alone, and a zero-overlap
+    paraphrase pair is capped near ``1 - anchor_token_w2`` — the geometry
+    compresses [0, 1]. Dividing by ``calibration`` (= ``anchor_token_w2``, the
+    pure-exact-match score) renormalizes "full lexical match" back to 1.0 so the
+    reference's 0.6 safety threshold keeps its meaning
+    (``/root/reference/src/voice_agent/rag2/retrieval.py:461-495``). Monotone:
+    rankings are unchanged; the clip only ties saturated top scorers at 1.0.
+    Measured on the zero-overlap paraphrase holdout (models/pretrain.py):
+    relevant p5 = 0.41/0.6 = 0.68 > 0.6 > irrelevant p95 = 0.28/0.6 = 0.46.
+    """
+    if calibration >= 1.0:
+        return scores
+    return jnp.clip(scores * (1.0 / calibration), 0.0, 1.0)
+
+
 def dequantize_tokens(tokens: jax.Array) -> jax.Array:
     """int8 token rows -> bf16 unit-ish vectors; pass-through for float dtypes."""
     if tokens.dtype == jnp.int8:

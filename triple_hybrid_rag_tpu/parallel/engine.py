@@ -305,6 +305,9 @@ class ShardedEngine:
         l_small = min(cfg.bm25_small_window, self.lex_l_max)
         use_maxsim = cfg.rerank_enabled and self.maxsim_tokens is not None
         use_dot = cfg.rerank_enabled and not use_maxsim and self.parent_emb is not None
+        # anchored-encoder score renormalization, baked into the compiled program
+        # (constant; see ops.maxsim.calibrate_maxsim)
+        maxsim_cal = float(getattr(self.retriever.embedder, "maxsim_calibration", 1.0))
         lex_mode = self.lexical_mode
         hops = cfg.graph_hops
         n_loc = self.n_loc
@@ -458,8 +461,14 @@ class ShardedEngine:
                 parent_ids = jnp.where(fused.ids >= 0, parent_of[safe], -1)
                 if use_maxsim:
                     safe_p = jnp.clip(parent_ids, 0, mx_tokens.shape[0] - 1)
-                    rerank = maxsim_scores(
-                        mx_tokens[safe_p], mx_mask[safe_p], qtok, qtokm, parent_ids >= 0
+                    from ..ops.maxsim import calibrate_maxsim
+
+                    rerank = calibrate_maxsim(
+                        maxsim_scores(
+                            mx_tokens[safe_p], mx_mask[safe_p], qtok, qtokm,
+                            parent_ids >= 0,
+                        ),
+                        maxsim_cal,
                     )
                 elif use_dot:
                     pe = parent_emb[jnp.clip(parent_ids, 0, parent_emb.shape[0] - 1)]
@@ -563,12 +572,21 @@ class ShardedEngine:
             q_vec = truncate_matryoshka(raw, cfg.embedding_dim)
 
         if self.maxsim_tokens is not None:
+            from ..retrieval import maxsim_query_weights
+
             texts = [p.semantic_query_text or p.original_query for p in plans]
-            q_tokens = r.embedder.token_embeddings(texts, max_tokens=cfg.maxsim_query_tokens)
-            q_tok_mask = np.any(q_tokens != 0, axis=-1)
+            q_tokens = r.embedder.token_embeddings(
+                texts, max_tokens=cfg.maxsim_query_tokens, dim=cfg.maxsim_dim
+            )
+            q_tok_mask = np.any(q_tokens != 0, axis=-1).astype(np.float16)
+            for i, t in enumerate(texts):
+                # soft function-word downweighting — same helper as the staged path
+                q_tok_mask[i] *= maxsim_query_weights(
+                    t, r.analyzer, cfg.maxsim_query_tokens
+                ).astype(np.float16)
         else:
             q_tokens = np.zeros((b, 1, 1), np.float32)
-            q_tok_mask = np.zeros((b, 1), bool)
+            q_tok_mask = np.zeros((b, 1), np.float16)
 
         seed_rows = np.full((b, cfg.graph_max_seeds), -1, np.int32)
         graph_on = np.zeros((b,), bool)

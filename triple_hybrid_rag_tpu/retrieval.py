@@ -51,6 +51,37 @@ from .types import QueryPlan, RetrievalResult, SearchResult
 _EMPTY_CHANNEL_K = 1  # width of the placeholder arrays for disabled channels
 
 
+# Soft query-token weights for the MaxSim gate. The analyzer already removes hard
+# stopwords; what remains are content-light "function" verbs/fillers ("get",
+# "tell", "explain") that rarely match any document token and drag the MaxSim
+# MEAN below the 0.6 safety threshold on natural questions ("when do invoices
+# get settled" = one unmatched token out of three). The reference never faces
+# this because its gate score is an LLM yes/no probability
+# (``/root/reference/src/voice_agent/retrieval/reranker.py:154-285``), which is
+# robust to filler words by construction; downweighting fillers restores the
+# same robustness for the late-interaction gate. Static list (EN+PT) — no
+# per-query device reads, identical in the staged retriever, the batched
+# engine, and the /rerank endpoint.
+_FUNCTION_WORDS = frozenset(
+    """get got make made take took tell told know knew want need find found
+    explain say said see saw look give gave show list use used work help
+    obter fazer feito dizer dito saber quis querer preciso precisa mostrar
+    ajudar usar achar encontrar funciona funcionar""".split()
+)
+FUNCTION_WORD_WEIGHT = 0.25
+
+
+def maxsim_query_weights(text: str, analyzer: Analyzer, max_tokens: int) -> np.ndarray:
+    """f32[max_tokens] per-query-token MaxSim weights (0 = padding slot).
+
+    Positions align with ``token_embeddings(...)`` output: both sides run the
+    same ``analyzer.tokenize`` truncated to the same width."""
+    w = np.zeros((max_tokens,), np.float32)
+    for j, t in enumerate(analyzer.tokenize(text)[:max_tokens]):
+        w[j] = FUNCTION_WORD_WEIGHT if t in _FUNCTION_WORDS else 1.0
+    return w
+
+
 class Retriever:
     """Query-side orchestrator over device-resident indexes."""
 
@@ -124,6 +155,7 @@ class Retriever:
             maxsim_index=self.maxsim_index,
             llm_fn=rerank_llm_fn,
             texts_of=self._parent_text_by_row if rerank_llm_fn is not None else None,
+            maxsim_calibration=getattr(self.embedder, "maxsim_calibration", 1.0),
         )
         self.corpus.mark_clean()
 
@@ -173,7 +205,8 @@ class Retriever:
         if config.rerank_enabled and dense_index is not None and len(corpus):
             parent_emb = self._build_parent_embeddings()
         self.reranker = reranker or get_reranker(
-            config, parent_embeddings=parent_emb, maxsim_index=maxsim_index
+            config, parent_embeddings=parent_emb, maxsim_index=maxsim_index,
+            maxsim_calibration=getattr(self.embedder, "maxsim_calibration", 1.0),
         )
         return self
 
@@ -388,10 +421,14 @@ class Retriever:
         """Token-level query embeddings for MaxSim (same embedder as the index build)."""
         text = plan.semantic_query_text or plan.original_query
         toks = self.embedder.token_embeddings(
-            [text], max_tokens=self.config.maxsim_query_tokens
+            [text], max_tokens=self.config.maxsim_query_tokens,
+            dim=self.config.maxsim_dim,
         )[0]
         mask = np.any(toks != 0, axis=-1)
-        return {"q_tokens": jnp.asarray(toks), "q_mask": jnp.asarray(mask)}
+        weights = maxsim_query_weights(
+            text, self.analyzer, self.config.maxsim_query_tokens
+        ) * mask.astype(np.float32)
+        return {"q_tokens": jnp.asarray(toks), "q_mask": jnp.asarray(weights)}
 
     def _build_parent_embeddings(self) -> jax.Array:
         """Parent embedding = L2-normalized mean of its children's embeddings

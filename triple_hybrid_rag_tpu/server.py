@@ -323,19 +323,30 @@ class RAGServer:
                 from .ops.maxsim import maxsim_scores
 
                 cfg = self.rag.config
-                dt = np.asarray(emb.token_embeddings(docs, max_tokens=cfg.maxsim_doc_tokens))
-                qt = np.asarray(
-                    emb.token_embeddings([query], max_tokens=cfg.maxsim_query_tokens)
-                )[0]
+                dt = np.asarray(emb.token_embeddings(
+                    docs, max_tokens=cfg.maxsim_doc_tokens, dim=cfg.maxsim_dim))
+                qt = np.asarray(emb.token_embeddings(
+                    [query], max_tokens=cfg.maxsim_query_tokens, dim=cfg.maxsim_dim
+                ))[0]
+                from .retrieval import maxsim_query_weights
+
                 dmask = np.linalg.norm(dt, axis=-1) > 0
-                qmask = np.linalg.norm(qt, axis=-1) > 0
+                qmask = (np.linalg.norm(qt, axis=-1) > 0).astype(np.float32)
+                qmask *= maxsim_query_weights(
+                    query, self.rag.retriever.analyzer, cfg.maxsim_query_tokens
+                )
+                from .ops.maxsim import calibrate_maxsim
+
                 scores = np.asarray(
-                    maxsim_scores(
-                        jnp.asarray(dt),
-                        jnp.asarray(dmask),
-                        jnp.asarray(qt),
-                        jnp.asarray(qmask),
-                        jnp.ones(len(docs), bool),
+                    calibrate_maxsim(
+                        maxsim_scores(
+                            jnp.asarray(dt),
+                            jnp.asarray(dmask),
+                            jnp.asarray(qt),
+                            jnp.asarray(qmask),
+                            jnp.ones(len(docs), bool),
+                        ),
+                        getattr(emb, "maxsim_calibration", 1.0),
                     )
                 )
                 scorer = "maxsim"
