@@ -1,0 +1,69 @@
+"""Independent-corpus quality run: inverse-cloze over Python stdlib docstrings.
+
+Usage (real chip; ~8 min at 500 docs):
+
+    python scripts/eval_stdlib.py [--docs 500] [--queries 150] [--blend 0.0]
+        [--out eval_results/stdlib.json]
+
+Writes the per-config metric table as JSON. This is the round-1 verdict's
+"corpus the builder couldn't have overfit by construction": the documents are
+CPython contributors' prose, the queries are held-out sentences REMOVED from
+their documents (see ``triple_hybrid_rag_tpu/eval.py:make_stdlib_eval``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500)
+    ap.add_argument("--queries", type=int, default=150)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--blend", type=float, default=None,
+                    help="rerank_blend_rrf override for the full_pipeline config")
+    ap.add_argument("--out", default="eval_results/stdlib.json")
+    args = ap.parse_args()
+
+    from triple_hybrid_rag_tpu.config import RAGConfig
+    from triple_hybrid_rag_tpu.eval import evaluate_stdlib
+
+    base = RAGConfig(
+        capacity_round=64,
+        embedding_dtype="float32",
+        safety_threshold=0.0,
+        final_top_k=max(args.k, 10),
+        rerank_top_k=max(2 * args.k, 20),
+        denoise_alpha=0.0,
+        graph_enabled=False,
+    )
+    if args.blend is not None:
+        base = base.replace(rerank_blend_rrf=args.blend)
+    t0 = time.time()
+    res = evaluate_stdlib(
+        base_cfg=base, k=args.k, n_docs=args.docs, n_queries=args.queries
+    )
+    payload = {
+        "corpus": "python-stdlib-docstrings",
+        "n_docs": args.docs,
+        "k": args.k,
+        "rerank_blend_rrf": base.rerank_blend_rrf,
+        "elapsed_s": round(time.time() - t0, 1),
+        "results": res,
+    }
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(payload, indent=1))
+    print(json.dumps(payload, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

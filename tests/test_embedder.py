@@ -61,3 +61,41 @@ def test_failsoft_wrapper_zero_vectors():
     assert out.shape == (3, 16)
     assert np.all(out[1] == 0) and np.all(out[0] == 1)
     assert e.last_errors == [1]
+
+
+# ---------------------------------------------------------------------------
+# OCR-then-embed image path (document images become text-retrievable)
+# ---------------------------------------------------------------------------
+
+
+def test_image_with_text_embeds_like_its_text():
+    """A rendered document image must land near the embedding of its own text —
+    the reference's image domain is scanned documents (core/embedder.py:141-210),
+    so textual semantics are the parity that matters."""
+    pytest.importorskip("PIL")
+    from triple_hybrid_rag_tpu.ocr_glyph import render_text_image
+
+    e = BowHashEmbedder(dim=256)
+    text = "Invoice payment terms thirty days net"
+    img = render_text_image(text, width=600)
+    v_img = e.embed_images([img])[0]
+    v_txt = e.embed_texts([text])[0]
+    v_txt = v_txt / np.linalg.norm(v_txt)
+    cos = float(v_img @ v_txt)
+    assert cos > 0.5, cos  # OCR'd text shares most tokens with the original
+
+
+def test_image_without_text_falls_back_to_hash():
+    """Non-decodable bytes keep the deterministic content-hash embedding
+    (identical bytes => identical vector; dedup semantics preserved)."""
+    e = BowHashEmbedder(dim=64)
+    a = e.embed_images([b"\x00\x01notanimage", b"\x00\x01notanimage"])
+    np.testing.assert_array_equal(a[0], a[1])
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+
+
+def test_encoder_embedder_supports_images():
+    from triple_hybrid_rag_tpu.models.encoder import EncoderEmbedder
+
+    assert hasattr(EncoderEmbedder, "embed_images")
+    assert hasattr(EncoderEmbedder, "embed_mixed")

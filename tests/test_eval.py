@@ -152,3 +152,31 @@ def test_maxsim_query_weights_downweight_function_words():
     assert toks[:3] == ["invoice", "get", "settled"]
     assert w[0] == 1.0 and w[1] == FUNCTION_WORD_WEIGHT and w[2] == 1.0
     assert np.all(w[len(toks):] == 0.0)  # padding slots
+
+
+def test_rerank_blend_rrf_staged_engine_parity():
+    """rerank_blend_rrf folds fused RRF evidence into the rerank score the same
+    way in the staged retriever and the batched engine."""
+    import jax
+
+    from triple_hybrid_rag_tpu.facade import RAG
+    from triple_hybrid_rag_tpu.parallel.engine import ShardedEngine
+
+    cfg = RAGConfig(
+        capacity_round=64, embedding_dim=64, embedding_dim_full=128,
+        embedding_dtype="float32", safety_threshold=0.0, graph_enabled=False,
+        embedder_backend="bowhash", rerank_blend_rrf=0.3, denoise_alpha=0.0,
+    )
+    rag = RAG(config=cfg)
+    rag.ingest_text("invoices are settled within thirty days", name="a.md")
+    rag.ingest_text("employees accrue twenty days of leave", name="b.md")
+    rag.ingest_text("the cluster uses a leaf spine topology", name="c.md")
+    staged = rag.query("when are invoices settled")
+    eng = ShardedEngine(rag.retriever)
+    batched = eng.retrieve_batch(["when are invoices settled"])[0]
+    assert staged.results and batched.results
+    assert staged.results[0].chunk_id == batched.results[0].chunk_id
+    # engine ships query payloads f16 (host->device wire format): small skew ok
+    np.testing.assert_allclose(
+        staged.results[0].rerank_score, batched.results[0].rerank_score, atol=1e-3
+    )

@@ -142,6 +142,11 @@ class RAGConfig:
     maxsim_query_tokens: int = 32
     maxsim_dim: int = 128  # reduced dim for token-level embeddings
     rerank_max_candidates: int = 50  # reference reranker.py:383 caps at 50
+    # Blend weight of the min-max-normalized fused RRF score into the rerank
+    # score: score = (1-b)*rerank + b*minmax(rrf). The reference's
+    # LightweightReranker blends term-overlap with rrf/similarity the same way
+    # (retrieval/reranker.py:590-660); 0 = pure late-interaction reorder.
+    rerank_blend_rrf: float = 0.0
 
     # ---- sharding / parallelism ----
     mesh_shape: Tuple[int, ...] = (1,)

@@ -53,22 +53,68 @@ def _seed_from(text: str) -> int:
 
 
 class _ImageHashMixin:
-    """Deterministic image embeddings from raw bytes (multimodal-parity stand-in for
-    the reference's Qwen3-VL image embedding path, core/embedder.py:141-210).
-    An image embeds as a unit Gaussian seeded by its content hash: identical bytes =>
-    identical vector, so image dedup/self-retrieval semantics hold end-to-end. Swap
-    a real vision encoder in by overriding ``embed_images``."""
+    """Image embeddings via OCR-then-embed with a content-hash fallback (the
+    reference embeds images with Qwen3-VL, core/embedder.py:141-210).
+
+    The reference's image domain is DOCUMENT images (scanned invoices, report
+    screenshots), so the semantics that matter are textual: each image runs
+    through the built-in recognizer ladder (``ocr_glyph.get_default_ocr_fn`` —
+    HTTP vision LLM -> pytesseract -> glyph matcher) and confident recognized
+    text embeds with the SAME text embedder as the rest of the corpus, making
+    image content cross-retrievable against text queries. Images with no
+    recognizable text (photos, low confidence) fall back to a unit Gaussian
+    seeded by the content hash, preserving identical-bytes => identical-vector
+    dedup/self-retrieval. Swap a real vision encoder in by overriding
+    ``embed_images``."""
 
     dim: int
+
+    _OCR_MIN_CONF = 0.4
+    _OCR_MIN_CHARS = 8
+
+    def _ocr_image_text(self, data: bytes) -> Optional[str]:
+        """Recognized text when the ladder is available and confident, else None."""
+        from ..ocr_glyph import get_default_ocr_fn
+
+        try:
+            ocr_fn = get_default_ocr_fn()
+        except Exception:
+            return None
+        if ocr_fn is None:
+            return None
+        try:
+            res = ocr_fn(data, "base")
+        except Exception:
+            return None
+        text, conf = res if isinstance(res, tuple) else (res, 1.0)
+        text = (text or "").strip()
+        if conf < self._OCR_MIN_CONF or len(text) < self._OCR_MIN_CHARS:
+            return None
+        return text
+
+    def _hash_image_vec(self, data: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha256(b"img\x00" + data).digest()[:8], "little")
+        v = np.random.default_rng(seed).standard_normal(self.dim).astype(np.float32)
+        return v / np.linalg.norm(v)
 
     def embed_images(self, images: Sequence[bytes]) -> np.ndarray:
         if not images:
             return np.zeros((0, self.dim), np.float32)
         out = np.zeros((len(images), self.dim), np.float32)
+        texts: dict = {}  # index -> recognized text, embedded as one batch below
         for i, data in enumerate(images):
-            seed = int.from_bytes(hashlib.sha256(b"img\x00" + data).digest()[:8], "little")
-            v = np.random.default_rng(seed).standard_normal(self.dim).astype(np.float32)
-            out[i] = v / np.linalg.norm(v)
+            text = self._ocr_image_text(data)
+            if text is not None:
+                texts[i] = text
+            else:
+                out[i] = self._hash_image_vec(data)
+        if texts:
+            idx = list(texts)
+            vecs = self.embed_texts([texts[i] for i in idx])
+            for j, i in enumerate(idx):
+                n = float(np.linalg.norm(vecs[j]))
+                # zero text vector (embed_texts fail-soft) -> hash fallback
+                out[i] = vecs[j] / n if n > 1e-9 else self._hash_image_vec(images[i])
         return out
 
     def embed_mixed(self, items: Sequence[tuple]) -> np.ndarray:

@@ -261,11 +261,16 @@ def init_encoder(
     return model, params
 
 
-class EncoderEmbedder:
+from .embedder import _ImageHashMixin
+
+
+class EncoderEmbedder(_ImageHashMixin):
     """Embedder-protocol adapter: batched on-device encoding.
 
     Satisfies :class:`~triple_hybrid_rag_tpu.models.embedder.Embedder`, so the retriever
-    can swap the hash embedders for the real on-mesh model transparently.
+    can swap the hash embedders for the real on-mesh model transparently. Image
+    payloads route through the mixin's OCR-then-embed path (document images become
+    text-retrievable via the same encoder; reference core/embedder.py:141-210).
     """
 
     def __init__(

@@ -470,6 +470,11 @@ class ShardedEngine:
                         ),
                         maxsim_cal,
                     )
+                    if cfg.rerank_blend_rrf > 0:
+                        rerank = (
+                            (1.0 - cfg.rerank_blend_rrf) * rerank
+                            + cfg.rerank_blend_rrf * minmax_normalize(fused.ids, fused.rrf)
+                        )
                 elif use_dot:
                     pe = parent_emb[jnp.clip(parent_ids, 0, parent_emb.shape[0] - 1)]
                     cos = jnp.dot(pe, qv.astype(pe.dtype), preferred_element_type=jnp.float32)
