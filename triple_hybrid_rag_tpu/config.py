@@ -143,10 +143,14 @@ class RAGConfig:
     maxsim_dim: int = 128  # reduced dim for token-level embeddings
     rerank_max_candidates: int = 50  # reference reranker.py:383 caps at 50
     # Blend weight of the min-max-normalized fused RRF score into the rerank
-    # score: score = (1-b)*rerank + b*minmax(rrf). The reference's
+    # ORDERING score: order = (1-b)*rerank + b*minmax(rrf). The reference's
     # LightweightReranker blends term-overlap with rrf/similarity the same way
-    # (retrieval/reranker.py:590-660); 0 = pure late-interaction reorder.
-    rerank_blend_rrf: float = 0.0
+    # (retrieval/reranker.py:590-660); 0 = pure late-interaction reorder. The
+    # safety/denoise gate always sees the pure calibrated rerank score
+    # (ops/fusion.py apply_safety_denoise gate_scores). Default measured on the
+    # independent stdlib corpus: recall@10 0.774 -> 0.815 (0.832 at b=0.5) while
+    # the zero-overlap paraphrase holdout keeps 16/16 rank-1 (15/16 at 0.5).
+    rerank_blend_rrf: float = 0.3
 
     # ---- sharding / parallelism ----
     mesh_shape: Tuple[int, ...] = (1,)
@@ -198,9 +202,10 @@ class RAGConfig:
     # Fused matmul+top-k dense channel (ops/pallas/fused_topk.py): never
     # materializes the f32[B, N] score matrix — at 8M rows x batch 64 that matrix
     # is 2 GB of HBM, so the fusion is what lets large corpora fit on one chip.
-    # Exact (id-bit-parity incl. ties) vs the XLA path; auto-falls back to the
-    # XLA path on CPU hosts unless the platform runs Pallas natively.
-    use_fused_topk: bool = False
+    # Exact vs the XLA path (int8: bit-identical; bf16: up to f32 accumulation
+    # order). None = auto: on for real accelerators, off on CPU hosts (where
+    # interpret-mode Pallas would dominate the XLA fusions).
+    use_fused_topk: Optional[bool] = None
 
     @classmethod
     def from_env(cls, **overrides: object) -> "RAGConfig":
@@ -220,7 +225,12 @@ class RAGConfig:
                 env_map[f.name] = _env_float(env_name, default)
             elif isinstance(default, str):
                 env_map[f.name] = _env_str(env_name, default)
-            # tuple-typed fields are not env-configurable
+            elif default is None and f.name == "use_fused_topk":
+                # tri-state: "auto"/"" keeps None, else parsed as bool
+                raw = os.environ[env_name].strip().lower()
+                if raw not in ("", "auto"):
+                    env_map[f.name] = _env_bool(env_name, False)
+            # tuple-typed / other None-default fields are not env-configurable
         env_map.update(overrides)
         return dataclasses.replace(base, **env_map)  # type: ignore[arg-type]
 

@@ -44,20 +44,13 @@ class MaxSimReranker:
 
             p_pad = self.index.tokens.shape[0]
             safe = jnp.clip(ids, 0, p_pad - 1)
-            maxsim = calibrate_maxsim(
+            return calibrate_maxsim(
                 maxsim_scores_pallas(
                     dequantize_tokens(self.index.tokens[safe]).astype(jnp.float32),
                     self.index.mask[safe], q_tokens, q_mask, ids >= 0,
                 ),
                 self.calibration,
             )
-        else:
-            maxsim = calibrate_maxsim(
-                self.index.score_candidates(ids, q_tokens, q_mask), self.calibration
-            )
-        b = self.config.rerank_blend_rrf
-        if b > 0:
-            # reference LightweightReranker pattern (retrieval/reranker.py:590-660):
-            # fold the fused-channel evidence back in instead of discarding it
-            maxsim = (1.0 - b) * maxsim + b * minmax_normalize(ids, fused_scores)
-        return maxsim
+        return calibrate_maxsim(
+            self.index.score_candidates(ids, q_tokens, q_mask), self.calibration
+        )

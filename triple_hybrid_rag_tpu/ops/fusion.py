@@ -22,7 +22,7 @@ reference's Python dict merge.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -133,18 +133,27 @@ def apply_safety_denoise(
     alpha: jax.Array,  # f32[] denoise: keep score >= alpha * max
     *,
     top_k: int,
+    gate_scores: Optional[jax.Array] = None,
 ) -> SafetyResult:
     """Production safety + alpha-max denoising (reference rag2/retrieval.py:461-495).
 
     Refusal is returned as a flag rather than an empty list; the host decides how to
-    surface it (the reference returns refused=True with a reason string)."""
+    surface it (the reference returns refused=True with a reason string).
+
+    ``gate_scores`` (default = ``scores``) drives refusal, the reported
+    max_score, and the alpha-max keep mask, while ``scores`` drives the final
+    ordering. The split exists for ``rerank_blend_rrf``: the blended ordering
+    score contains a min-max-normalized RRF term whose top candidate is always
+    1.0, so gating on it would never refuse — the gate must see the pure
+    calibrated rerank score, which carries absolute relevance meaning."""
+    gate = scores if gate_scores is None else gate_scores
     valid = ids >= 0
-    max_score = jnp.max(jnp.where(valid, scores, NEG_INF))
+    max_score = jnp.max(jnp.where(valid, gate, NEG_INF))
     has_any = valid.any()
     max_score = jnp.where(has_any, max_score, 0.0)
     refused = jnp.logical_or(~has_any, max_score < threshold)
 
-    keep = valid & (scores >= alpha * max_score) & ~refused
+    keep = valid & (gate >= alpha * max_score) & ~refused
     key = jnp.where(keep, scores, NEG_INF)
     vals, order = jax.lax.top_k(key, top_k)
     ok = vals > NEG_INF

@@ -297,7 +297,12 @@ class ShardedEngine:
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
-        use_fused = use_sem and cfg.use_fused_topk
+        # use_fused_topk None = auto: fused on real accelerators, XLA on CPU hosts
+        fused_flag = (
+            cfg.use_fused_topk if cfg.use_fused_topk is not None
+            else jax.devices()[0].platform != "cpu"
+        )
+        use_fused = use_sem and fused_flag
         # Pallas compiles natively on TPU; on CPU hosts (tests, virtual meshes)
         # the kernel runs in interpret mode so the fused path stays exercisable.
         fused_interpret = jax.devices()[0].platform == "cpu"
@@ -470,19 +475,23 @@ class ShardedEngine:
                         ),
                         maxsim_cal,
                     )
-                    if cfg.rerank_blend_rrf > 0:
-                        rerank = (
-                            (1.0 - cfg.rerank_blend_rrf) * rerank
-                            + cfg.rerank_blend_rrf * minmax_normalize(fused.ids, fused.rrf)
-                        )
                 elif use_dot:
                     pe = parent_emb[jnp.clip(parent_ids, 0, parent_emb.shape[0] - 1)]
                     cos = jnp.dot(pe, qv.astype(pe.dtype), preferred_element_type=jnp.float32)
                     rerank = jnp.where(parent_ids >= 0, (cos + 1.0) * 0.5, 0.0)
                 else:
                     rerank = minmax_normalize(fused.ids, fused.rrf)
+                # ordering = optional RRF blend; gate = pure rerank (see fusion.py)
+                bw = cfg.rerank_blend_rrf
+                if cfg.rerank_enabled and bw > 0:
+                    order = (1.0 - bw) * rerank + bw * minmax_normalize(
+                        fused.ids, fused.rrf
+                    )
+                else:
+                    order = rerank
                 gate = apply_safety_denoise(
-                    fused.ids, rerank, threshold, alpha, top_k=cfg.final_top_k
+                    fused.ids, order, threshold, alpha, top_k=cfg.final_top_k,
+                    gate_scores=rerank,
                 )
                 return gate.ids, gate.scores, gate.refused, gate.max_score, fused, rerank
 

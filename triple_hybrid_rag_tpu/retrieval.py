@@ -44,6 +44,7 @@ from .ops.fusion import (
     apply_safety_denoise,
     conformal_denoise_mask,
     fuse_rrf,
+    minmax_normalize,
 )
 from .ops.topk import masked_top_k
 from .types import QueryPlan, RetrievalResult, SearchResult
@@ -279,6 +280,16 @@ class Retriever:
             rerank_scores = self.reranker.score(qctx, parent_ids, fused.rrf)
         else:
             rerank_scores = fused.rrf
+        # ordering score: optionally fold fused-RRF evidence back in (reference
+        # LightweightReranker blend, retrieval/reranker.py:590-660). The GATE
+        # below still sees the pure rerank score (see apply_safety_denoise).
+        b = cfg.rerank_blend_rrf
+        if cfg.rerank_enabled and b > 0:
+            order_scores = (1.0 - b) * rerank_scores + b * minmax_normalize(
+                fused.ids, fused.rrf
+            )
+        else:
+            order_scores = rerank_scores
         timings["rerank_ms"] = (time.perf_counter() - t0) * 1e3
 
         # 6. safety + denoise
@@ -287,14 +298,15 @@ class Retriever:
             threshold = cfg.safety_threshold if cfg.safety_enabled else -np.inf
             alpha = cfg.denoise_alpha if cfg.denoise_enabled else 0.0
             gate = apply_safety_denoise(
-                fused.ids, rerank_scores,
+                fused.ids, order_scores,
                 jnp.float32(threshold), jnp.float32(alpha), top_k=final_k,
+                gate_scores=rerank_scores,
             )
             final_slot_ids, final_scores = gate.ids, gate.scores
             refused, max_score = bool(gate.refused), float(gate.max_score)
         else:
             final_slot_ids, final_scores = masked_top_k(
-                jnp.where(fused.ids >= 0, rerank_scores, -jnp.inf), final_k,
+                jnp.where(fused.ids >= 0, order_scores, -jnp.inf), final_k,
                 invalid_score_floor=-np.inf,
             )
             # masked_top_k returns positions into the candidate list; map to rows
