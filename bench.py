@@ -287,6 +287,13 @@ def main():
     )
     t0 = time.time()
     engine = ShardedEngine(retr, corpus_mesh())
+    # sync each placed component so an async placement failure is attributed here,
+    # not to the next unrelated dispatch
+    for attr in ("embeddings", "lex_pd", "lex_pt", "maxsim_tokens", "chunk_entities"):
+        arr = getattr(engine, attr, None)
+        if arr is not None:
+            jax.block_until_ready(arr)
+            log(f"  placed {attr}")
     log(f"engine placed (per-shard CSR) in {time.time()-t0:.1f}s")
     # free the pre-placement device copies (engine holds its own placed arrays);
     # without this 4M-scale runs hold everything twice and exhaust HBM

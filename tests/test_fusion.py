@@ -200,3 +200,47 @@ def test_minmax_normalize():
     # all-equal -> 1.0
     out2 = np.asarray(minmax_normalize(ids, pad_scores([0.4, 0.4, 0.4], 8)))
     np.testing.assert_allclose(out2[:3], 1.0)
+
+
+def test_gate_scores_split_order_vs_refusal():
+    """apply_safety_denoise: ordering follows `scores`, refusal/max/keep follow
+    `gate_scores` (the rerank_blend_rrf contract — see ops/fusion.py)."""
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.fusion import apply_safety_denoise
+
+    ids = jnp.asarray([10, 11, 12, -1])
+    order = jnp.asarray([0.9, 0.95, 0.1, 0.0])   # blended: 11 above 10
+    gate = jnp.asarray([0.8, 0.7, 0.05, 0.0])    # pure rerank
+    r = apply_safety_denoise(
+        ids, order, jnp.float32(0.6), jnp.float32(0.0), top_k=3, gate_scores=gate
+    )
+    assert not bool(r.refused)
+    assert float(r.max_score) == pytest.approx(0.8)  # max of GATE, not order
+    assert list(np.asarray(r.ids)[:2]) == [11, 10]   # ordered by ORDER scores
+
+    # refusal driven by gate even when ordering scores are high
+    low_gate = jnp.asarray([0.3, 0.2, 0.05, 0.0])
+    r2 = apply_safety_denoise(
+        ids, order, jnp.float32(0.6), jnp.float32(0.0), top_k=3, gate_scores=low_gate
+    )
+    assert bool(r2.refused)
+
+    # alpha-max keep mask uses gate scores: candidate 12 (gate 0.05 < 0.5*0.8)
+    # is dropped even though its ordering score alone would survive
+    r3 = apply_safety_denoise(
+        ids, order, jnp.float32(0.0), jnp.float32(0.5), top_k=3, gate_scores=gate
+    )
+    assert 12 not in list(np.asarray(r3.ids))
+
+
+def test_calibrate_maxsim_monotone_and_clipped():
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.maxsim import calibrate_maxsim
+
+    s = jnp.asarray([0.0, 0.3, 0.6, 0.9])
+    out = np.asarray(calibrate_maxsim(s, 0.6))
+    np.testing.assert_allclose(out, [0.0, 0.5, 1.0, 1.0], atol=1e-6)
+    # calibration >= 1 is the identity (no anchors)
+    np.testing.assert_allclose(np.asarray(calibrate_maxsim(s, 1.0)), np.asarray(s))

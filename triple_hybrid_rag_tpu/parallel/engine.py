@@ -152,16 +152,23 @@ class ShardedEngine:
         self.n_pad = n_pad
         self.n_loc = n_pad // s
 
+        # may_alias: when a source array is already on a mesh device with the
+        # target layout (always true for the 1-chip mesh), placement reuses the
+        # buffer instead of copying — without it, placement transiently holds
+        # index + placed copies (2x ~11 GB at 8M chunks int8 = OOM on 16 GB HBM).
+        # Measured on v5e: 4 GB device_put 5.8 ms (copy) -> 0.2 ms (alias).
         def shard_rows(arr, ndim=1):
             spec = P("shard", *([None] * (ndim - 1)))
-            return jax.device_put(_pad_rows(arr, n_pad), NamedSharding(self.mesh, spec))
+            return jax.device_put(
+                _pad_rows(arr, n_pad), NamedSharding(self.mesh, spec), may_alias=True
+            )
 
         def shard_stacked(arr, ndim):
             spec = P("shard", *([None] * (ndim - 1)))
-            return jax.device_put(arr, NamedSharding(self.mesh, spec))
+            return jax.device_put(arr, NamedSharding(self.mesh, spec), may_alias=True)
 
         def repl(arr):
-            return jax.device_put(arr, NamedSharding(self.mesh, P()))
+            return jax.device_put(arr, NamedSharding(self.mesh, P()), may_alias=True)
 
         # ---- lexical: per-shard CSR (sorted path) or sharded termtable ----
         self.lexical_mode = "none"
