@@ -30,6 +30,11 @@ def main() -> int:
     ap.add_argument("--blend", type=float, default=None,
                     help="rerank_blend_rrf override for the full_pipeline config")
     ap.add_argument("--out", default="eval_results/stdlib.json")
+    ap.add_argument("--sources", default="stdlib",
+                    help="comma list: stdlib and/or installed packages "
+                         "(numpy,scipy,pandas,jax,torch,...) or 'all'")
+    ap.add_argument("--queries-only-recall", action="store_true",
+                    help="skip ablations, run full_pipeline only (fast)")
     args = ap.parse_args()
 
     from triple_hybrid_rag_tpu.config import RAGConfig
@@ -46,12 +51,21 @@ def main() -> int:
     )
     if args.blend is not None:
         base = base.replace(rerank_blend_rrf=args.blend)
+    from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES
+
+    sources = (
+        ("stdlib",) + _PACKAGE_SOURCES
+        if args.sources == "all"
+        else tuple(s.strip() for s in args.sources.split(",") if s.strip())
+    )
     t0 = time.time()
     res = evaluate_stdlib(
-        base_cfg=base, k=args.k, n_docs=args.docs, n_queries=args.queries
+        base_cfg=base, k=args.k, n_docs=args.docs, n_queries=args.queries,
+        sources=sources,
+        configs=["full_pipeline"] if args.queries_only_recall else None,
     )
     payload = {
-        "corpus": "python-stdlib-docstrings",
+        "corpus": "docstrings:" + "+".join(sources),
         "n_docs": args.docs,
         "k": args.k,
         "rerank_blend_rrf": base.rerank_blend_rrf,

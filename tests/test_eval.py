@@ -142,6 +142,21 @@ def test_stdlib_eval_corpus_is_independent():
     assert m["recall@10"] > 0.5  # real-text retrieval works at all
 
 
+def test_multi_source_docstring_harvest():
+    """Package-docstring sources (numpy/jax/...) extend the independent corpus;
+    the budget splits across sources so stdlib cannot crowd them out."""
+    from triple_hybrid_rag_tpu.eval import _stdlib_documents
+
+    docs = _stdlib_documents(max_docs=60, sources=("stdlib", "numpy", "einops"))
+    assert len(docs) == 60
+    tops = {d[0].split(".")[0] for d in docs}
+    assert "numpy" in tops and "einops" in tops
+    assert any(t not in ("numpy", "einops") for t in tops)  # stdlib present
+    # deterministic given the installed versions
+    again = _stdlib_documents(max_docs=60, sources=("stdlib", "numpy", "einops"))
+    assert [d[0] for d in docs] == [d[0] for d in again]
+
+
 def test_maxsim_query_weights_downweight_function_words():
     from triple_hybrid_rag_tpu.analyzer import Analyzer
     from triple_hybrid_rag_tpu.retrieval import FUNCTION_WORD_WEIGHT, maxsim_query_weights

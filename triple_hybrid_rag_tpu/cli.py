@@ -156,7 +156,8 @@ def cmd_eval(args: argparse.Namespace) -> int:
     if getattr(args, "stdlib", False):
         from .eval import evaluate_stdlib
 
-        results = evaluate_stdlib(k=args.k, n_docs=args.stdlib_docs)
+        sources = tuple(s.strip() for s in args.sources.split(",") if s.strip())
+        results = evaluate_stdlib(k=args.k, n_docs=args.stdlib_docs, sources=sources)
     else:
         from .eval import evaluate_baseline_configs
 
@@ -296,6 +297,9 @@ def main(argv=None) -> int:
     p.add_argument("--stdlib", action="store_true",
                    help="independent corpus: inverse-cloze over stdlib docstrings")
     p.add_argument("--stdlib-docs", type=int, default=500)
+    p.add_argument("--sources", default="stdlib",
+                   help="comma list of docstring corpora for --stdlib: stdlib "
+                        "and/or installed package names (numpy,jax,torch,...)")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_eval)
 
