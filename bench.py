@@ -61,7 +61,7 @@ DF_CAP = int(os.environ.get("BENCH_DF_CAP", 2048))
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 N_SINGLE = int(os.environ.get("BENCH_QUERIES", 20))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
-DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8 | int4
 N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", 20000))
 # fused matmul+top-k dense channel (ops/pallas/fused_topk.py): auto = on for real
 # accelerators, off for CPU hosts (interpret-mode Pallas would dominate)
@@ -163,6 +163,14 @@ def build_synthetic(cfg: RAGConfig, embedder: BowHashEmbedder):
             absmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-12)
             scale = absmax / 127.0
             return jnp.clip(jnp.round(v / scale[:, None]), -127, 127).astype(jnp.int8), scale
+        if DTYPE == "int4":
+            # on-device pack, same layout as dense_index.quantize_rows_int4
+            absmax = jnp.maximum(jnp.max(jnp.abs(v), axis=1), 1e-12)
+            scale = absmax / 7.0
+            codes = jnp.clip(jnp.round(v / scale[:, None]), -7, 7).astype(jnp.int32)
+            lo = codes[:, : DIM // 2] & 0xF
+            hi = codes[:, DIM // 2 :] & 0xF
+            return (lo | (hi << 4)).astype(jnp.uint8), scale
         return v.astype(jnp.bfloat16), jnp.ones((ids.shape[0],), jnp.float32)
 
     bs = 131072
@@ -175,7 +183,7 @@ def build_synthetic(cfg: RAGConfig, embedder: BowHashEmbedder):
     valid = jnp.arange(n_pad) < N
     dense = DenseIndex(
         embeddings=emb, valid=valid, n_docs=N, n_pad=n_pad, dim=DIM, config=cfg,
-        scales=jnp.concatenate(scale_blocks) if DTYPE == "int8" else None,
+        scales=jnp.concatenate(scale_blocks) if DTYPE in ("int8", "int4") else None,
     )
     del dirs_dev, blocks, scale_blocks
 
@@ -187,7 +195,7 @@ def build_synthetic(cfg: RAGConfig, embedder: BowHashEmbedder):
     @jax.jit
     def tokens_block(mdirs, ids):
         t = mdirs[ids].astype(jnp.float32)  # [bs, td, m_dim]
-        if DTYPE == "int8":
+        if DTYPE in ("int8", "int4"):  # MaxSim tokens stay int8 under int4 dense
             return jnp.clip(jnp.round(t * 127.0), -127, 127).astype(jnp.int8)
         return t.astype(jnp.bfloat16)
 

@@ -181,3 +181,100 @@ def test_all_invalid(rng):
     )
     assert np.all(np.asarray(got_ids) == -1)
     assert np.all(np.asarray(got_vals) == -np.inf)
+
+
+# ---------------------------------------------------------------------------
+# int4 packed-nibble path
+# ---------------------------------------------------------------------------
+
+
+def test_int4_quantize_unpack_roundtrip(rng):
+    from triple_hybrid_rag_tpu.index.dense_index import quantize_rows_int4, unpack_int4
+
+    mat = _unit_rows(rng, 64, 32)
+    packed, scale = quantize_rows_int4(mat)
+    assert packed.dtype == np.uint8 and packed.shape == (64, 16)
+    low, high = unpack_int4(jnp.asarray(packed))
+    codes = np.concatenate([np.asarray(low), np.asarray(high)], axis=1)
+    assert codes.min() >= -7 and codes.max() <= 7
+    recon = codes.astype(np.float32) * scale[:, None]
+    # int4 keeps the geometry to ~1/7 absmax resolution per row
+    err = np.abs(recon - mat).max(axis=1) / np.abs(mat).max(axis=1)
+    assert err.max() <= (0.5 / 7.0) + 1e-6
+
+
+def test_int4_cosine_accuracy(rng):
+    """int4 scores track f32 cosine closely enough to preserve top ranks."""
+    from triple_hybrid_rag_tpu.index.dense_index import (
+        dense_scores_int4_batch,
+        quantize_rows_int4,
+    )
+
+    N, D, B = 2000, 256, 8
+    mat = _unit_rows(rng, N, D)
+    q = _unit_rows(rng, B, D)
+    packed, scale = quantize_rows_int4(mat)
+    exact = np.asarray(q @ mat.T)
+    got = np.asarray(
+        dense_scores_int4_batch(jnp.asarray(packed), jnp.asarray(scale), jnp.asarray(q))
+    )
+    assert np.abs(got - exact).max() < 0.05  # |cos| <= 1; int4 noise ~2-3%
+    # rank preservation: the exact argmax stays in the int4 top-5
+    for b in range(B):
+        assert int(exact[b].argmax()) in np.argsort(-got[b])[:5]
+
+
+@pytest.mark.parametrize("bucket", [8, 32])
+def test_int4_fused_bit_parity(rng, bucket):
+    """fused int4 kernel ids/scores == unpack-full XLA reference, bit-exact ids."""
+    from triple_hybrid_rag_tpu.index.dense_index import (
+        dense_scores_int4_batch,
+        quantize_rows_int4,
+    )
+
+    N, D, B, K = 5000, 128, 8, 32
+    packed, scales = quantize_rows_int4(_unit_rows(rng, N, D))
+    valid = np.ones(N, bool)
+    valid[rng.integers(0, N, 50)] = False
+    q = _unit_rows(rng, B, D)
+
+    scores = dense_scores_int4_batch(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(q)
+    )
+    ref_ids, ref_vals = _xla_reference(scores, valid, K)
+    got_ids, got_vals = fused_dense_topk(
+        jnp.asarray(packed), jnp.asarray(valid), jnp.asarray(q), K,
+        scales=jnp.asarray(scales), block=512, bucket=bucket, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    _assert_scores_ulp(ref_vals, got_vals)
+
+
+def test_int4_fused_scoped_parity(rng):
+    from triple_hybrid_rag_tpu.index.dense_index import (
+        dense_scores_int4_batch,
+        quantize_rows_int4,
+    )
+
+    N, D, B, K = 2048, 64, 6, 16
+    packed, scales = quantize_rows_int4(_unit_rows(rng, N, D))
+    valid = np.ones(N, bool)
+    collection_of = rng.integers(0, 3, N).astype(np.int32)
+    coll_cid = np.array([-1, 0, 1, 2, -2, 1], np.int32)
+    q = _unit_rows(rng, B, D)
+
+    scores = dense_scores_int4_batch(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(q)
+    )
+    row_masks = np.stack([
+        np.ones(N, bool) if c == -1 else (collection_of == c) for c in coll_cid
+    ])
+    ref_ids, ref_vals = _xla_reference(scores, valid, K, row_masks=row_masks)
+    got_ids, got_vals = fused_dense_topk(
+        jnp.asarray(packed), jnp.asarray(valid), jnp.asarray(q), K,
+        scales=jnp.asarray(scales),
+        collection_of=jnp.asarray(collection_of), coll_cid=jnp.asarray(coll_cid),
+        block=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    _assert_scores_ulp(ref_vals, got_vals)

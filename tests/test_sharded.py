@@ -122,6 +122,25 @@ def test_sharded_arrays_actually_sharded(cfg):
     assert shard_shapes == {(eng.n_pad // 8, eng.embeddings.shape[1])}
 
 
+def test_alias_placement_preserves_values_and_source(cfg):
+    """device_put(may_alias=True) placement (SURVEY 5.2's prescribed aliasing
+    check): engine arrays must carry the same values as the index arrays they
+    alias, and the engine's query program must leave the index arrays intact
+    (no donation/in-place hazard through the aliased buffers)."""
+    import numpy as np
+
+    corpus, _ = build_fixture(cfg, with_graph=False)
+    c = cfg.replace(graph_enabled=False)
+    ret = Retriever(corpus, c)
+    src = np.asarray(ret.dense_index.embeddings).copy()
+    eng = ShardedEngine(ret, corpus_mesh())
+    placed = np.asarray(eng.embeddings)[: src.shape[0]]
+    np.testing.assert_array_equal(placed, src)
+    eng.retrieve("alpha beta")  # run the program through the aliased arrays
+    np.testing.assert_array_equal(np.asarray(ret.dense_index.embeddings), src)
+    np.testing.assert_array_equal(np.asarray(eng.embeddings)[: src.shape[0]], src)
+
+
 def test_data_parallel_batch_matches_shard_only(cfg):
     """data=2 x shard=4 mesh: batch splits over replicas, results identical to 1x8."""
     corpus, _ = build_fixture(cfg, with_graph=False)

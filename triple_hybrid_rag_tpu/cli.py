@@ -310,7 +310,8 @@ def main(argv=None) -> int:
     p.add_argument("dst", help="destination checkpoint directory")
     p.add_argument("--dim", type=int, default=None, help="new embedding_dim (Matryoshka)")
     p.add_argument("--dim-full", type=int, default=None, help="new embedding_dim_full")
-    p.add_argument("--dtype", default=None, choices=["bfloat16", "float32", "int8"])
+    p.add_argument("--dtype", default=None,
+                   choices=["bfloat16", "float32", "int8", "int4"])
     p.add_argument("--reembed", action="store_true",
                    help="re-embed every chunk text (full backfill, not re-truncation)")
     p.add_argument("--json", action="store_true")

@@ -107,7 +107,7 @@ class RAGConfig:
     # explicit embedder argument always takes precedence over this field.
     embedding_dim_full: int = 2048  # model-native dim before Matryoshka truncation
     embedding_dim: int = 1024  # Matryoshka prefix-truncated + re-L2-normalized
-    embedding_dtype: str = "bfloat16"  # HBM-resident matrix dtype
+    embedding_dtype: str = "bfloat16"  # HBM matrix dtype: float32|bfloat16|int8|int4
     embedding_batch_size: int = 20
 
     # ---- lexical / BM25 engine (TPU-native replacement for Postgres FTS) ----

@@ -51,8 +51,17 @@ class DenseIndex:
     config: RAGConfig
     scales: Optional[jax.Array] = None  # f32[n_pad] per-row dequant scale (int8 only)
 
+    @property
+    def is_int4(self) -> bool:
+        """Packed-nibble storage (uint8[n_pad, D/2] + per-row scales)."""
+        return self.embeddings.dtype == jnp.uint8
+
     def score(self, query_vec: jax.Array) -> jax.Array:
         """Cosine scores f32[n_pad] for a unit query vector (single MXU matvec)."""
+        if self.is_int4:
+            return dense_scores_int4_batch(
+                self.embeddings, self.scales, query_vec[None, :]
+            )[0]
         if self.scales is not None:
             return _dense_scores_int8(self.embeddings, self.scales, query_vec)
         return _dense_scores(self.embeddings, query_vec)
@@ -81,7 +90,10 @@ class DenseIndex:
         truncated = truncate_matryoshka(vectors, self.dim)
         scales = self.scales
         if scales is not None:
-            new_vals, new_scale = quantize_rows_int8(truncated)
+            if self.is_int4:
+                new_vals, new_scale = quantize_rows_int4(truncated)
+            else:
+                new_vals, new_scale = quantize_rows_int8(truncated)
             if n_pad > scales.shape[0]:
                 scales = jnp.pad(scales, (0, n_pad - scales.shape[0]), constant_values=1.0)
             rows = jnp.asarray(new_vals)
@@ -133,6 +145,53 @@ def quantize_rows_int8(mat: np.ndarray):
     return values, scale
 
 
+def quantize_rows_int4(mat: np.ndarray):
+    """Symmetric per-row absmax int4: codes in [-7, 7], column pair (j, j+D/2)
+    packed into one byte (j in the low nibble). Halves dense HBM again vs int8
+    (0.5 KB per 1024-d row -> ~16M chunks on one 16 GB chip). The pair layout is
+    chosen so unpacking splits into two half-width matmuls with NO interleave:
+    low nibbles are columns [0, D/2), high nibbles are columns [D/2, D)."""
+    d = mat.shape[1]
+    assert d % 2 == 0, f"int4 packing needs even dim, got {d}"
+    absmax = np.abs(mat).max(axis=1)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    v = np.clip(np.rint(mat / scale[:, None]), -7, 7).astype(np.int8)
+    lo = v[:, : d // 2] & 0xF
+    hi = v[:, d // 2 :] & 0xF
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return packed, scale
+
+
+def unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(low i8[N, D/2], high i8[N, D/2]) sign-extended halves of packed rows.
+
+    Works under jit and inside Pallas kernels (int32 shifts only). Column j of
+    `low` is original column j; column j of `high` is original column j + D/2."""
+    p = packed.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
+    high = jnp.right_shift(jnp.left_shift(p, 24), 28).astype(jnp.int8)
+    return low, high
+
+
+def dense_scores_int4_batch(
+    packed: jax.Array, scales: jax.Array, query_vecs: jax.Array
+) -> jax.Array:
+    """Batched int4 scoring f32[B, n_pad] via full unpack -> two int8 matmuls.
+
+    Materializes the unpacked int8 halves, so this is the SMALL-corpus / staged
+    debug path; at engine scale the fused Pallas kernel unpacks per block in
+    VMEM instead (``ops/pallas/fused_topk.py``)."""
+    q = query_vecs.astype(jnp.float32)
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12)
+    q_scale = q_absmax / 127.0  # [B, 1]
+    q_i8 = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
+    low, high = unpack_int4(packed)
+    d2 = packed.shape[1]
+    acc = jnp.dot(q_i8[:, :d2], low.T, preferred_element_type=jnp.int32)
+    acc += jnp.dot(q_i8[:, d2:], high.T, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * scales[None, :] * q_scale
+
+
 @jax.jit
 def _dense_scores_int8(
     values: jax.Array, scales: jax.Array, query_vec: jax.Array
@@ -181,8 +240,9 @@ def build_dense_index(
     valid = np.zeros((n_pad,), dtype=bool)
     valid[:n_docs] = True
 
-    if config.embedding_dtype == "int8":
-        values, scale = quantize_rows_int8(mat)
+    if config.embedding_dtype in ("int8", "int4"):
+        quantize = quantize_rows_int4 if config.embedding_dtype == "int4" else quantize_rows_int8
+        values, scale = quantize(mat)
         return DenseIndex(
             embeddings=jnp.asarray(values), valid=jnp.asarray(valid),
             n_docs=n_docs, n_pad=n_pad, dim=dim, config=config,

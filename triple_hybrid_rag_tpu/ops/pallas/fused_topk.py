@@ -97,6 +97,38 @@ def _kernel_int8_scoped(q_ref, qs_ref, cid_ref, e_ref, scale_ref, addmask_ref,
     out_ref[:] = _mask_and_reduce(s, addmask_ref, coll_ref, cid_ref, bucket)
 
 
+def _int4_acc(p_ref, q_ref):
+    """int32[rows, B] scores from packed-nibble rows: unpack in VMEM (int32
+    shifts, sign-extending), then two half-width int8 MXU matmuls. The pack
+    layout (column j low nibble, column j+D/2 high nibble — see
+    index/dense_index.quantize_rows_int4) makes the split interleave-free."""
+    p = p_ref[:].astype(jnp.int32)  # uint8[rows, D/2] zero-extended
+    low = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
+    high = jnp.right_shift(jnp.left_shift(p, 24), 28).astype(jnp.int8)
+    d2 = p.shape[1]
+    dims = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(
+        low, q_ref[:, :d2], dimension_numbers=dims,
+        preferred_element_type=jnp.int32,
+    )
+    acc += jax.lax.dot_general(
+        high, q_ref[:, d2:], dimension_numbers=dims,
+        preferred_element_type=jnp.int32,
+    )
+    return acc
+
+
+def _kernel_int4(q_ref, qs_ref, e_ref, scale_ref, addmask_ref, out_ref, *, bucket):
+    s = _int4_acc(e_ref, q_ref).astype(jnp.float32) * scale_ref[:] * qs_ref[:]
+    out_ref[:] = _mask_and_reduce(s, addmask_ref, None, None, bucket)
+
+
+def _kernel_int4_scoped(q_ref, qs_ref, cid_ref, e_ref, scale_ref, addmask_ref,
+                        coll_ref, out_ref, *, bucket):
+    s = _int4_acc(e_ref, q_ref).astype(jnp.float32) * scale_ref[:] * qs_ref[:]
+    out_ref[:] = _mask_and_reduce(s, addmask_ref, coll_ref, cid_ref, bucket)
+
+
 def _kernel_float(qt_ref, e_ref, addmask_ref, out_ref, *, bucket):
     # standard [rows, D] @ [D, B] matmul: q ships pre-transposed. The dim1-dim1
     # contraction the int8 path uses trips a Mosaic bf16 lowering bug here
@@ -150,21 +182,22 @@ def bucket_maxima_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """f32[B, N/bucket] per-bucket score maxima; the fused matmul+reduce pass."""
-    n, d = embeddings.shape
-    b = query_vecs.shape[0]
+    n, d = embeddings.shape  # d = D/2 packed bytes on the int4 path
+    b, qd = query_vecs.shape
     assert n % block == 0 and block % bucket == 0, (n, block, bucket)
     n_blocks = n // block
     nb = block // bucket
     scoped = coll_cid is not None
     is_int8 = embeddings.dtype == jnp.int8
+    is_int4 = embeddings.dtype == jnp.uint8
 
     row_spec = lambda width, dtype_last=False: pl.BlockSpec(  # noqa: E731
         (block, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    q_spec = pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((b, qd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((b, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, n_blocks * nb), jnp.float32)
 
-    if is_int8:
+    if is_int8 or is_int4:
         args = [query_vecs, q_scale]
         in_specs = [q_spec, pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)]
         if scoped:
@@ -175,8 +208,12 @@ def bucket_maxima_pallas(
         if scoped:
             args.append(collection_of)
             in_specs.append(row_spec(1))
-        kernel = functools.partial(
-            _kernel_int8_scoped if scoped else _kernel_int8, bucket=bucket)
+        if is_int4:
+            kernel = functools.partial(
+                _kernel_int4_scoped if scoped else _kernel_int4, bucket=bucket)
+        else:
+            kernel = functools.partial(
+                _kernel_int8_scoped if scoped else _kernel_int8, bucket=bucket)
     else:
         args = [query_vecs.astype(embeddings.dtype).T]  # [D, B] for standard matmul
         in_specs = [pl.BlockSpec((d, b), lambda i: (0, 0), memory_space=pltpu.VMEM)]
@@ -263,6 +300,7 @@ def fused_dense_topk(
     n, d = embeddings.shape
     b = query_vecs.shape[0]
     is_int8 = embeddings.dtype == jnp.int8
+    is_int4 = embeddings.dtype == jnp.uint8  # packed nibbles, d = D/2
 
     # The Mosaic lowering needs the out-block lane dim (block/kernel_bucket) to be
     # a multiple of 128, which caps the in-kernel bucket at block/128. Larger
@@ -283,7 +321,7 @@ def fused_dense_topk(
             collection_of = jnp.pad(collection_of, (0, n_pad - n), constant_values=-2)
     addmask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
 
-    if is_int8:
+    if is_int8 or is_int4:
         q_i8, q_scale = quantize_queries_int8(query_vecs)
         bucket_max = bucket_maxima_pallas(
             embeddings, q_i8, addmask,
@@ -320,8 +358,17 @@ def fused_dense_topk(
         c_coll = collection_of[cand_rows]
         cand_valid = cand_valid & ((coll_cid[:, None] == -1) | (c_coll == coll_cid[:, None]))
 
-    cand_emb = embeddings[cand_rows]  # [B, C, D]
-    if is_int8:
+    cand_emb = embeddings[cand_rows]  # [B, C, D] (packed [B, C, D/2] for int4)
+    if is_int4:
+        from ...index.dense_index import unpack_int4
+
+        low, high = unpack_int4(cand_emb)  # i8[B, C, D/2] each
+        acc = jnp.einsum("bcd,bd->bc", low.astype(jnp.int32),
+                         q_i8[:, :d].astype(jnp.int32))
+        acc += jnp.einsum("bcd,bd->bc", high.astype(jnp.int32),
+                          q_i8[:, d:].astype(jnp.int32))
+        cand_scores = acc.astype(jnp.float32) * scales[cand_rows] * q_scale
+    elif is_int8:
         acc = jnp.einsum(
             "bcd,bd->bc", cand_emb.astype(jnp.int32), q_i8.astype(jnp.int32)
         )  # exact int32 accumulation == MXU int8 dot

@@ -200,7 +200,8 @@ class ShardedEngine:
             self.embeddings = shard_rows(dx.embeddings, 2)
             self.valid = shard_rows(dx.valid)
             self.dim = dx.dim
-            self._use_int8 = dx.scales is not None
+            self._use_int4 = dx.is_int4  # packed uint8[n, D/2] rows
+            self._use_int8 = dx.scales is not None and not dx.is_int4
             self.dense_scales = (
                 shard_rows(dx.scales)
                 if dx.scales is not None
@@ -210,6 +211,7 @@ class ShardedEngine:
             self.embeddings = shard_rows(jnp.zeros((n_pad, 8), jnp.bfloat16), 2)
             self.valid = shard_rows(jnp.zeros((n_pad,), bool))
             self.dim = 8
+            self._use_int4 = False
             self._use_int8 = False
             self.dense_scales = shard_rows(jnp.ones((n_pad,), jnp.float32))
         # ---- graph ----
@@ -267,6 +269,7 @@ class ShardedEngine:
             or new.e_pad != self.e_pad
             or new.dim != self.dim
             or new._use_int8 != self._use_int8
+            or new._use_int4 != self._use_int4
             or new.config != self.config
             # channel/rerank presence is baked into the compiled programs as statics
             or (new.retriever.graph_index is None) != (self.retriever.graph_index is None)
@@ -304,6 +307,7 @@ class ShardedEngine:
         use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
+        use_int4 = use_sem and self._use_int4
         # use_fused_topk None = auto: fused on real accelerators, XLA on CPU hosts
         fused_flag = (
             cfg.use_fused_topk if cfg.use_fused_topk is not None
@@ -408,12 +412,19 @@ class ShardedEngine:
 
                 d_ids, d_vals = fused_dense_topk(
                     embeddings, valid, q_vec, k_sem,
-                    scales=dense_scales if use_int8 else None,
+                    scales=dense_scales if (use_int8 or use_int4) else None,
                     collection_of=collection_of if scoped else None,
                     coll_cid=coll_cid if scoped else None,
                     interpret=fused_interpret,
                 )
                 sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
+            elif use_int4:
+                # unpack-full XLA fallback: materializes the int8 halves, so this
+                # is only for small corpora / CPU tests — at int4's target scale
+                # (8-16M rows) the fused kernel above is the production path
+                from ..index.dense_index import dense_scores_int4_batch
+
+                scores = dense_scores_int4_batch(embeddings, dense_scales, q_vec)
             elif use_int8:
                 from ..index.dense_index import dense_scores_int8_batch
 
