@@ -244,3 +244,23 @@ def test_calibrate_maxsim_monotone_and_clipped():
     np.testing.assert_allclose(out, [0.0, 0.5, 1.0, 1.0], atol=1e-6)
     # calibration >= 1 is the identity (no anchors)
     np.testing.assert_allclose(np.asarray(calibrate_maxsim(s, 1.0)), np.asarray(s))
+
+
+def test_fuse_rrf_pool_smaller_than_top_k():
+    """A candidate pool smaller than top_k pads with invalid slots instead of
+    crashing (rare-token query through a single channel)."""
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.fusion import fuse_rrf
+
+    lex = jnp.asarray([5], jnp.int32)
+    empty = jnp.asarray([-1], jnp.int32)
+    zeros = jnp.zeros((1,), jnp.float32)
+    out = fuse_rrf(
+        lex, jnp.asarray([2.0]), empty, zeros, empty, zeros,
+        weights=jnp.asarray([1.0, 1.0, 1.0]), top_k=20,
+    )
+    assert out.ids.shape == (20,)
+    assert int(out.ids[0]) == 5 and float(out.rrf[0]) > 0
+    assert np.all(np.asarray(out.ids[1:]) == -1)
+    assert np.all(np.asarray(out.rrf[1:]) == 0.0)

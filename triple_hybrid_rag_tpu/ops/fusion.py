@@ -102,8 +102,14 @@ def fuse_rrf(
     valid = (cand_ids >= 0) & ~is_dup
 
     sort_key = jnp.where(valid, rrf, NEG_INF)
-    order = jax.lax.top_k(sort_key, top_k)[1]
+    # the candidate pool can be smaller than top_k (single channel, tiny k, or a
+    # rare-token query) — select what exists and pad the tail with invalid slots
+    k_sel = min(top_k, kt)
+    order = jax.lax.top_k(sort_key, k_sel)[1]
     ok = valid[order]
+    if k_sel < top_k:
+        order = jnp.pad(order, (0, top_k - k_sel))
+        ok = jnp.pad(ok, (0, top_k - k_sel))  # padded slots -> fill values
 
     def take(x: jax.Array, fill: jax.Array) -> jax.Array:
         return jnp.where(ok, x[order], fill)
