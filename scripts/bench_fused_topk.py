@@ -75,6 +75,18 @@ def xla_path(values, scales, valid, q, k):
     )
 
 
+def xla_bucketed_path(values, scales, valid, q, k):
+    """Materialized scores + hierarchical bucket top-k (ops/topk.py) — the
+    post-bucketed-topk XLA contender: pays the f32[B, N] HBM write/read but
+    not the length-N sort."""
+    from triple_hybrid_rag_tpu.ops.topk import bucketed_masked_top_k_batch
+
+    scores = dense_scores_int8_batch(values, scales, q)
+    return bucketed_masked_top_k_batch(
+        scores, k, valid=valid, invalid_score_floor=-2.0
+    )
+
+
 def matmul_only(values, scales, q):
     return jnp.max(dense_scores_int8_batch(values, scales, q), axis=1)
 
@@ -114,6 +126,17 @@ def run(n_rows: int):
     except Exception as e:  # noqa: BLE001
         print(f"XLA path    : FAILED ({type(e).__name__}: {str(e)[:120]})")
         xla_ids = None
+
+    try:
+        xlab = jax.jit(xla_bucketed_path, static_argnames=("k",))
+        ms_xlab, (xlab_ids, _) = time_call(xlab, values, scales, valid, q, K)
+        line = f"XLA bucketed: {ms_xlab:8.3f} ms"
+        if xla_ids is not None:
+            line += f"   ids identical: {bool(jnp.all(xla_ids == xlab_ids))}"
+        print(line)
+        res["xla_bucketed_ms"] = ms_xlab
+    except Exception as e:  # noqa: BLE001
+        print(f"XLA bucketed: FAILED ({type(e).__name__}: {str(e)[:120]})")
 
     for bucket in (8, 16, 32, 64):
         try:

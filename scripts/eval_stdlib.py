@@ -35,6 +35,11 @@ def main() -> int:
                          "(numpy,scipy,pandas,jax,torch,...) or 'all'")
     ap.add_argument("--queries-only-recall", action="store_true",
                     help="skip ablations, run full_pipeline only (fast)")
+    ap.add_argument("--embedder", default=None,
+                    choices=["encoder", "bowhash", "hash"],
+                    help="embedder_backend override (default: config auto)")
+    ap.add_argument("--weights", default=None,
+                    help="lexical,semantic,graph RRF weight override, e.g. 1.0,0.5,0.6")
     args = ap.parse_args()
 
     from triple_hybrid_rag_tpu.config import RAGConfig
@@ -51,6 +56,11 @@ def main() -> int:
     )
     if args.blend is not None:
         base = base.replace(rerank_blend_rrf=args.blend)
+    if args.embedder is not None:
+        base = base.replace(embedder_backend=args.embedder)
+    if args.weights is not None:
+        lw, sw, gw = (float(x) for x in args.weights.split(","))
+        base = base.replace(lexical_weight=lw, semantic_weight=sw, graph_weight=gw)
     from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES
 
     sources = (

@@ -278,3 +278,72 @@ def test_int4_fused_scoped_parity(rng):
     )
     np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
     _assert_scores_ulp(ref_vals, got_vals)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_masked_top_k_batch (pure-XLA hierarchical top-k, ops/topk.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_masked_topk_batch(scores, k, valid=None, floor=0.0):
+    import jax
+
+    def one(s, v):
+        return masked_top_k(s, k, valid=v, invalid_score_floor=floor)
+
+    if valid is None:
+        return jax.vmap(lambda s: masked_top_k(s, k, invalid_score_floor=floor))(scores)
+    if valid.ndim == 1:
+        valid = jnp.broadcast_to(valid, scores.shape)
+    return jax.vmap(one)(scores, valid)
+
+
+@pytest.mark.parametrize("n,bucket", [(5000, 16), (4097, 8), (300, 16), (7, 16)])
+def test_bucketed_topk_parity(rng, n, bucket):
+    from triple_hybrid_rag_tpu.ops.topk import bucketed_masked_top_k_batch
+
+    B, K = 6, 24
+    scores = rng.standard_normal((B, n)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, max(1, n // 50))] = False
+    ref_ids, ref_vals = _ref_masked_topk_batch(
+        jnp.asarray(scores), K, jnp.asarray(valid), floor=-2.0
+    )
+    got_ids, got_vals = bucketed_masked_top_k_batch(
+        jnp.asarray(scores), K, valid=jnp.asarray(valid),
+        invalid_score_floor=-2.0, bucket=bucket,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    np.testing.assert_array_equal(np.asarray(ref_vals), np.asarray(got_vals))
+
+
+def test_bucketed_topk_ties_and_floor(rng):
+    from triple_hybrid_rag_tpu.ops.topk import bucketed_masked_top_k_batch
+
+    B, N, K = 3, 8192, 16
+    scores = np.zeros((B, N), np.float32)
+    scores[:, 100:100 + 40] = 1.0  # 40 exactly-tied hits spanning buckets
+    scores[:, 7000] = 2.0
+    ref_ids, ref_vals = _ref_masked_topk_batch(jnp.asarray(scores), K, floor=0.0)
+    got_ids, got_vals = bucketed_masked_top_k_batch(
+        jnp.asarray(scores), K, invalid_score_floor=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    # floor: zero scores never surface
+    assert np.all(np.asarray(got_vals)[np.asarray(got_ids) >= 0] > 0.0)
+
+
+def test_bucketed_topk_per_query_valid(rng):
+    from triple_hybrid_rag_tpu.ops.topk import bucketed_masked_top_k_batch
+
+    B, N, K = 4, 6000, 12
+    scores = rng.random((B, N), dtype=np.float32)
+    valid = rng.random((B, N)) > 0.3  # per-query masks (collection scoping)
+    ref_ids, ref_vals = _ref_masked_topk_batch(
+        jnp.asarray(scores), K, jnp.asarray(valid), floor=0.0
+    )
+    got_ids, got_vals = bucketed_masked_top_k_batch(
+        jnp.asarray(scores), K, valid=jnp.asarray(valid)
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    np.testing.assert_array_equal(np.asarray(ref_vals), np.asarray(got_vals))

@@ -296,3 +296,24 @@ def test_graph_channel_skipped_when_not_required(gcfg):
     ret = Retriever(corpus, gcfg, graph_index=gidx)
     r = ret.retrieve("gardening tips for spring")
     assert r.channel_counts["graph"] == 0  # plan did not require graph
+
+
+def test_chunk_scores_batch_matches_per_query(rng):
+    """chunk_scores_from_entities_batch == vmapped per-query op (the engine's
+    41ms/batch -> shared-gather optimization must be a pure re-layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.graph import (
+        chunk_scores_from_entities,
+        chunk_scores_from_entities_batch,
+    )
+
+    N, M, E, B = 300, 4, 50, 6
+    ce = rng.integers(-1, E, size=(N, M)).astype(np.int32)
+    ent = rng.random((B, E), dtype=np.float32)
+    ref = jax.vmap(lambda e: chunk_scores_from_entities(jnp.asarray(ce), e))(
+        jnp.asarray(ent)
+    )
+    got = chunk_scores_from_entities_batch(jnp.asarray(ce), jnp.asarray(ent))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -72,6 +72,28 @@ def chunk_scores_from_entities(
     return jnp.max(s, axis=1)
 
 
+def chunk_scores_from_entities_batch(
+    chunk_entities: jax.Array,  # i32[N, M] entity rows mentioned per chunk (-1 = pad)
+    entity_scores: jax.Array,  # f32[B, E] per-query entity scores
+) -> jax.Array:
+    """f32[B, N] per-chunk graph scores for a whole query batch in ONE gather.
+
+    The batched engine's hot form of :func:`chunk_scores_from_entities`. Doing
+    the gather per query (vmap over B) issues B x N x M random *scalar* gathers
+    — measured 41 ms/batch at 1M chunks x B=64 on v5e, the single most
+    expensive stage of the whole program. Gathering instead from the
+    transposed [E, B] table makes each gathered element a contiguous B-lane
+    vector shared by every query, collapsing the stage to one N x M row gather
+    (~50x less gather overhead; the [N, M, B] intermediate fuses into the max
+    reduction)."""
+    e_pad = entity_scores.shape[1]
+    valid = chunk_entities >= 0  # [N, M]
+    safe = jnp.clip(chunk_entities, 0, e_pad - 1)
+    ent_t = entity_scores.T  # [E, B]; B on lanes -> row gathers are contiguous
+    s = jnp.where(valid[:, :, None], ent_t[safe], 0.0)  # [N, M, B]
+    return jnp.max(s, axis=1).T  # [B, N]
+
+
 @functools.partial(jax.jit, static_argnames=("hops",))
 def khop_chunk_scores(
     nbr: jax.Array,

@@ -41,9 +41,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import RAGConfig
 from ..ops.bm25 import score_postings_topk_pre, score_postings_topk_tiered, score_termtable
 from ..ops.fusion import FusedCandidates, apply_safety_denoise, fuse_rrf, minmax_normalize
-from ..ops.graph import khop_entity_scores, chunk_scores_from_entities
+from ..ops.graph import chunk_scores_from_entities_batch, khop_entity_scores
 from ..ops.maxsim import maxsim_scores
-from ..ops.topk import masked_top_k, merge_topk
+from ..ops.topk import bucketed_masked_top_k_batch, masked_top_k, merge_topk
 from ..types import QueryPlan, RetrievalResult
 from .mesh import corpus_mesh
 
@@ -365,6 +365,14 @@ class ShardedEngine:
                 cid = coll_cid[b]
                 return (cid == -1) | (collection_of == cid)
 
+            def batch_row_mask():
+                # bool[B, n_loc] variant of row_mask_for, for batched top-k ops
+                if not scoped:
+                    return None
+                return (coll_cid[:, None] == -1) | (
+                    collection_of[None, :] == coll_cid[:, None]
+                )
+
             # ---- lexical ----
             if lex_mode == "sorted" and use_tiering:
                 def lex_one(st, ss, lt, ls, b):
@@ -435,12 +443,12 @@ class ShardedEngine:
                     preferred_element_type=jnp.float32,
                 )  # [B, n_loc]
             if use_sem and not use_fused:
-                def dense_top(sc, b):
-                    m = row_mask_for(b)
-                    v = valid if m is None else valid & m
-                    return masked_top_k(sc, k_sem, valid=v, invalid_score_floor=-2.0)
-
-                d_ids, d_vals = jax.vmap(dense_top)(scores, jnp.arange(batch))
+                m = batch_row_mask()
+                d_ids, d_vals = bucketed_masked_top_k_batch(
+                    scores, k_sem,
+                    valid=valid[None, :] if m is None else valid[None, :] & m,
+                    invalid_score_floor=-2.0,
+                )
                 sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
             elif not use_sem:
                 sem_ids = jnp.full((batch, 1), -1, jnp.int32)
@@ -450,7 +458,7 @@ class ShardedEngine:
             if use_graph:
                 e_pad = nbr.shape[0]
 
-                def graph_one(sr, on, b):
+                def entity_frontier(sr):
                     # sparse seed rows -> dense seed vector (scatter-max: -1 pads,
                     # clipped to row 0, can never clear a real row-0 seed)
                     seed_vec = (
@@ -458,10 +466,20 @@ class ShardedEngine:
                         .at[jnp.clip(sr, 0, e_pad - 1)]
                         .max(sr >= 0)
                     )
-                    ent = khop_entity_scores(nbr, seed_vec, hops=hops)
-                    sc = chunk_scores_from_entities(chunk_entities, ent)
-                    return masked_top_k(jnp.where(on, sc, 0.0), k_graph, valid=row_mask_for(b))
-                g_ids, g_vals = jax.vmap(graph_one)(seed_rows, graph_on, jnp.arange(batch))
+                    return khop_entity_scores(nbr, seed_vec, hops=hops)
+
+                # per-query k-hop over the (small) entity graph, then ONE shared
+                # chunk gather for the whole batch (chunk_entities is
+                # query-independent; see chunk_scores_from_entities_batch)
+                ent_all = jax.vmap(entity_frontier)(seed_rows)  # [B, e_pad]
+                sc_bn = chunk_scores_from_entities_batch(chunk_entities, ent_all)
+                # bucketed top-k: a vmapped lax.top_k over [B, n_loc] is a
+                # length-n sort per query (~40 ms/batch at 1M on v5e — the
+                # single most expensive stage before this)
+                g_ids, g_vals = bucketed_masked_top_k_batch(
+                    jnp.where(graph_on[:, None], sc_bn, 0.0), k_graph,
+                    valid=batch_row_mask(),
+                )
                 graph_ids, graph_scores = merge(g_ids, g_vals, k_graph)
             else:
                 graph_ids = jnp.full((batch, 1), -1, jnp.int32)
