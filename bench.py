@@ -265,9 +265,8 @@ def make_query_texts(rows, term_ids_doc, rng, graph_frac=GRAPH_FRAC):
 
 
 def main():
-    fused = (
-        jax.devices()[0].platform != "cpu" if FUSED_ENV == "auto" else FUSED_ENV == "1"
-    )
+    # None = config auto policy (bucketed XLA unless the score transient is big)
+    fused = None if FUSED_ENV == "auto" else FUSED_ENV == "1"
     cfg = RAGConfig(
         capacity_round=1024, embedding_dim=DIM, embedding_dim_full=DIM,
         embedding_dtype=DTYPE, use_fused_topk=fused,
@@ -353,17 +352,35 @@ def main():
     for _ in range(N_BATCHES):
         r = (rng.integers(0, N // 5, size=BATCH) * 5).astype(np.int64)
         text_batches.append(make_query_texts(r, term_ids_doc, rng)[0])
-    t0 = time.perf_counter()
-    outs = [engine.search_arrays(tb)[1] for tb in text_batches]
-    # ONE stacked readback: every batch's ids still reach the host, but the
-    # dev tunnel's ~30 ms round-trip is paid once, not once per batch — a
-    # pipelined server overlaps per-batch readback with the next batch's
-    # compute, and on host-attached chips the readback is microseconds.
-    np.asarray(jnp.stack([o[0] for o in outs]))
-    e2e_s = time.perf_counter() - t0
+    # Two-stage pipeline, exactly as server.py's micro-batcher serves concurrent
+    # clients: a prep thread plans/tokenizes/embeds/uploads batch i+1 while the
+    # device computes batch i. All N_BATCHES x BATCH results still reach the
+    # host (one stacked readback: the dev tunnel's ~30 ms round-trip is paid
+    # once — on host-attached chips readback is microseconds).
+    from concurrent.futures import ThreadPoolExecutor
+
+    scoped = False
+    progE = engine._program(BATCH, scoped)
+    idxE = engine._index_args()
+    def e2e_pass(ex):
+        t0 = time.perf_counter()
+        fut = ex.submit(engine.prepare_queries, text_batches[0])
+        outs = []
+        for i in range(N_BATCHES):
+            _, args = fut.result()
+            if i + 1 < N_BATCHES:
+                fut = ex.submit(engine.prepare_queries, text_batches[i + 1])
+            outs.append(progE(*idxE, *args))
+        np.asarray(jnp.stack([o[0] for o in outs]))
+        return time.perf_counter() - t0
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        # best of two passes: the first pays one-shot tunnel/page-in noise
+        e2e_s = min(e2e_pass(ex) for _ in range(2))
     e2e_ms = e2e_s / (N_BATCHES * BATCH) * 1e3
     e2e_qps = N_BATCHES * BATCH / e2e_s
-    log(f"END-TO-END batched: {e2e_ms:.3f} ms/query, {e2e_qps:.0f} QPS (batch={BATCH})")
+    log(f"END-TO-END batched (pipelined): {e2e_ms:.3f} ms/query, {e2e_qps:.0f} QPS "
+        f"(batch={BATCH})")
 
     # prep-only cost (host work, no device)
     t0 = time.perf_counter()
@@ -379,10 +396,13 @@ def main():
     for a in arg_batches:
         jax.block_until_ready(a[0])
     fetch(progB(*idx_args, *arg_batches[0]))  # warm
-    t0 = time.perf_counter()
-    outs = [progB(*idx_args, *a) for a in arg_batches]
-    np.asarray(jnp.stack([o[0] for o in outs]))  # single stacked readback
-    dev_s = time.perf_counter() - t0
+    def dev_pass():
+        t0 = time.perf_counter()
+        outs = [progB(*idx_args, *a) for a in arg_batches]
+        np.asarray(jnp.stack([o[0] for o in outs]))  # single stacked readback
+        return time.perf_counter() - t0
+
+    dev_s = min(dev_pass() for _ in range(2))
     dev_ms = dev_s / (N_BATCHES * BATCH) * 1e3
     log(f"DEVICE-ONLY batched: {dev_ms:.3f} ms/query, {N_BATCHES*BATCH/dev_s:.0f} QPS")
 
@@ -415,14 +435,15 @@ def main():
         "embedding_dim": DIM,
         "n_entities": N_ENTITIES,
         "graph_enabled": True,
-        "fused_topk": bool(fused),
+        "fused_topk": "auto" if fused is None else bool(fused),
         "graph_query_fraction": GRAPH_FRAC,
         "sanity_self_retrieval": bool(sanity_ok),
         "sanity_self_retrieval_frac": round(sanity_frac, 3),
         "device": str(dev),
-        "note": "e2e = text in -> final ids fetched (host prep + upload in the timed "
-                "loop, all 3 channels on); single-query includes the tunneled "
-                "dispatch floor reported above",
+        "note": "e2e = text in -> final ids fetched, all 3 channels on; host prep + "
+                "upload in the timed loop on a prep thread pipelined with device "
+                "compute (server.py's micro-batcher architecture); single-query "
+                "includes the tunneled dispatch floor reported above",
     }))
 
 

@@ -200,12 +200,19 @@ class RAGConfig:
     # exists for locally-attached hardware where the explicit schedules can win.
     use_pallas: bool = False
     # Fused matmul+top-k dense channel (ops/pallas/fused_topk.py): never
-    # materializes the f32[B, N] score matrix — at 8M rows x batch 64 that matrix
-    # is 2 GB of HBM, so the fusion is what lets large corpora fit on one chip.
-    # Exact vs the XLA path (int8: bit-identical; bf16: up to f32 accumulation
-    # order). None = auto: on for real accelerators, off on CPU hosts (where
-    # interpret-mode Pallas would dominate the XLA fusions).
+    # materializes the f32[B, N] score matrix. Exact vs the XLA path (int8:
+    # bit-identical; bf16: up to f32 accumulation order). Measured on v5e
+    # (scripts/bench_fused_topk.py, 2026-08): the pure-XLA *bucketed* top-k
+    # (ops/topk.bucketed_masked_top_k_batch) is 5-7% FASTER than the kernel at
+    # every serving shape (5.4 vs 6.0 ms at 0.8M int8, 38.1 vs 40.0 at 8M), so
+    # the kernel's remaining value is CAPACITY: it skips the f32[B, N] HBM
+    # transient (2 GB at 8M x batch 64). None = auto: fused only on real
+    # accelerators AND when that transient would exceed
+    # fused_topk_auto_bytes of headroom; explicitly True/False overrides.
     use_fused_topk: Optional[bool] = None
+    # auto threshold for the dense score-matrix transient (bytes): above this,
+    # the fused kernel replaces the bucketed-XLA path to protect HBM headroom
+    fused_topk_auto_bytes: int = 1_500_000_000
 
     @classmethod
     def from_env(cls, **overrides: object) -> "RAGConfig":

@@ -308,11 +308,18 @@ class ShardedEngine:
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
         use_int4 = use_sem and self._use_int4
-        # use_fused_topk None = auto: fused on real accelerators, XLA on CPU hosts
-        fused_flag = (
-            cfg.use_fused_topk if cfg.use_fused_topk is not None
-            else jax.devices()[0].platform != "cpu"
-        )
+        # use_fused_topk None = auto: the bucketed-XLA path is faster at every
+        # measured shape (config.py:use_fused_topk), so the fused kernel only
+        # auto-enables when the f32[B, n_loc] score transient would cost real
+        # HBM headroom (large corpora), and never on CPU hosts
+        if cfg.use_fused_topk is not None:
+            fused_flag = cfg.use_fused_topk
+        else:
+            score_bytes = 4 * batch * self.n_loc
+            fused_flag = (
+                jax.devices()[0].platform != "cpu"
+                and score_bytes > cfg.fused_topk_auto_bytes
+            )
         use_fused = use_sem and fused_flag
         # Pallas compiles natively on TPU; on CPU hosts (tests, virtual meshes)
         # the kernel runs in interpret mode so the fused path stays exercisable.
