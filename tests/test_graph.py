@@ -317,3 +317,65 @@ def test_chunk_scores_batch_matches_per_query(rng):
     )
     got = chunk_scores_from_entities_batch(jnp.asarray(ce), jnp.asarray(ent))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_graph_topk_batch_parity(rng):
+    """graph_topk_batch (blocked bucket-maxima + member rescore) must equal the
+    reference composition: per-query chunk scores -> masked_top_k, including
+    the 0-score floor, per-query row masks, query_on gating, and tie-breaks."""
+    import jax
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.graph import (
+        chunk_scores_from_entities,
+        graph_topk_batch,
+    )
+    from triple_hybrid_rag_tpu.ops.topk import masked_top_k
+
+    N, M, E, B, K = 3000, 4, 40, 6, 12
+    ce = rng.integers(-1, E, size=(N, M)).astype(np.int32)
+    # quantized scores force exact ties across chunks
+    ent = np.round(rng.random((B, E)) * 4) / 4.0
+    ent = ent.astype(np.float32)
+    ent[3] = 0.0  # one query with an empty frontier -> all refused
+    valid = rng.random((B, N)) > 0.2
+    q_on = np.array([True, True, False, True, True, True])
+
+    def ref_one(e, v, on):
+        sc = chunk_scores_from_entities(jnp.asarray(ce), e)
+        return masked_top_k(jnp.where(on, sc, 0.0), K, valid=v)
+
+    ref_ids, ref_vals = jax.vmap(ref_one)(
+        jnp.asarray(ent), jnp.asarray(valid), jnp.asarray(q_on)
+    )
+    got_ids, got_vals = graph_topk_batch(
+        jnp.asarray(ce), jnp.asarray(ent), K,
+        valid=jnp.asarray(valid), query_on=jnp.asarray(q_on),
+        bucket=16, block=512,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    np.testing.assert_array_equal(np.asarray(ref_vals), np.asarray(got_vals))
+    assert np.all(np.asarray(got_ids)[2] == -1)  # query_on False
+    assert np.all(np.asarray(got_ids)[3] == -1)  # empty frontier
+
+
+def test_graph_topk_batch_no_masks(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.ops.graph import (
+        chunk_scores_from_entities,
+        graph_topk_batch,
+    )
+    from triple_hybrid_rag_tpu.ops.topk import masked_top_k
+
+    N, M, E, B, K = 700, 3, 25, 4, 40  # K*bucket > N exercises the pad path
+    ce = rng.integers(-1, E, size=(N, M)).astype(np.int32)
+    ent = rng.random((B, E), dtype=np.float32)
+    ref_ids, ref_vals = jax.vmap(
+        lambda e: masked_top_k(chunk_scores_from_entities(jnp.asarray(ce), e), K)
+    )(jnp.asarray(ent))
+    got_ids, got_vals = graph_topk_batch(jnp.asarray(ce), jnp.asarray(ent), K,
+                                         bucket=8, block=256)
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    np.testing.assert_array_equal(np.asarray(ref_vals), np.asarray(got_vals))

@@ -94,6 +94,110 @@ def chunk_scores_from_entities_batch(
     return jnp.max(s, axis=1).T  # [B, N]
 
 
+def graph_topk_batch(
+    chunk_entities: jax.Array,  # i32[N, M] entity rows per chunk (-1 = pad)
+    entity_scores: jax.Array,  # f32[B, E] per-query entity scores
+    k: int,
+    valid: jax.Array | None = None,  # bool[B, N] per-query row masks
+    query_on: jax.Array | None = None,  # bool[B] graph channel active per query
+    bucket: int = 16,
+    block: int = 1 << 19,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact batched graph top-k WITHOUT materializing per-chunk scores.
+
+    ``chunk_scores_from_entities_batch`` + a batched top-k materializes an
+    [N, M, B] gather intermediate — 8 GB at N=8M, M=4, B=64, the allocation
+    that OOMed the 8M one-chip run. This computes per-bucket score maxima in
+    N-blocks (``lax.map`` bounds the transient to block x M x B), selects the
+    top-k buckets, and rescores only the k x bucket member rows — the same
+    exactness construction as ``ops.topk.bucketed_masked_top_k_batch`` (and
+    the fused dense kernel): any bucket holding a top-k chunk has a maximum
+    >= the k-th value; the final (score desc, id asc) sort reproduces
+    ``masked_top_k``'s tie-break. Scores <= 0 never surface (graph floor).
+
+    Returns (ids i32[B, k], scores f32[B, k]) with -1 / -inf invalid slots.
+    """
+    from .topk import NEG_INF
+
+    n, m = chunk_entities.shape
+    b, e_pad = entity_scores.shape
+    ent_t = entity_scores.T  # [E, B]: B on lanes -> contiguous row gathers
+    if query_on is not None:
+        ent_t = jnp.where(query_on[None, :], ent_t, 0.0)
+
+    n_pad = ((n + block - 1) // block) * block
+    ce = chunk_entities
+    va = valid
+    if n_pad != n:
+        ce = jnp.pad(ce, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        if va is not None:
+            va = jnp.pad(va, ((0, 0), (0, n_pad - n)))
+    assert block % bucket == 0
+    n_blocks = n_pad // block
+
+    def block_maxima(args):
+        ce_blk, va_blk = args  # i32[block, M], bool[B, block] | dummy
+        ok = ce_blk >= 0
+        safe = jnp.clip(ce_blk, 0, e_pad - 1)
+        s = jnp.where(ok[:, :, None], ent_t[safe], 0.0)  # [block, M, B]
+        s = jnp.max(s, axis=1)  # [block, B]
+        s = jnp.where(s > 0.0, s, NEG_INF)  # graph floor: 0-score rows invalid
+        if valid is not None:
+            s = jnp.where(va_blk.T, s, NEG_INF)
+        return jnp.max(s.reshape(block // bucket, bucket, b), axis=1).T  # [B, blk/bu]
+
+    ce_blocks = ce.reshape(n_blocks, block, m)
+    va_blocks = (
+        va.reshape(b, n_blocks, block).transpose(1, 0, 2)
+        if valid is not None
+        else jnp.zeros((n_blocks, 1, 1), bool)  # unused dummy
+    )
+    bmax = jax.lax.map(block_maxima, (ce_blocks, va_blocks))  # [nblk, B, blk/bu]
+    bmax = bmax.transpose(1, 0, 2).reshape(b, n_pad // bucket)
+
+    kk = min(k, n_pad // bucket)
+    _, bucket_ids = jax.lax.top_k(bmax, kk)  # ties -> lowest bucket id
+    member = (
+        bucket_ids[:, :, None] * bucket
+        + jnp.arange(bucket, dtype=bucket_ids.dtype)[None, None, :]
+    ).reshape(b, kk * bucket)  # [B, C] global rows
+
+    # rescore members per query (tiny: B x k*bucket x M gathers)
+    mem_ce = ce[jnp.clip(member, 0, n_pad - 1)]  # [B, C, M]
+    ok = mem_ce >= 0
+    safe = jnp.clip(mem_ce, 0, e_pad - 1)
+
+    def one(ent_q, safe_q, ok_q):
+        return jnp.max(jnp.where(ok_q, ent_q[safe_q], 0.0), axis=-1)  # [C]
+
+    cand = jax.vmap(one)(
+        jnp.where(query_on[:, None], entity_scores, 0.0)
+        if query_on is not None
+        else entity_scores,
+        safe, ok,
+    )
+    cand = jnp.where(cand > 0.0, cand, NEG_INF)
+    cand = jnp.where(member < n, cand, NEG_INF)  # padding rows
+    if valid is not None:
+        cand = jnp.where(
+            jnp.take_along_axis(va, jnp.clip(member, 0, n - 1), axis=1), cand, NEG_INF
+        )
+    sort_ids = jnp.where(cand > NEG_INF, member, jnp.iinfo(jnp.int32).max)
+    _, sorted_ids, sorted_vals = jax.lax.sort(
+        (-cand, sort_ids, cand), dimension=-1, num_keys=2
+    )
+    if sorted_ids.shape[1] < k:  # tiny corpus: fewer members than k
+        pad = ((0, 0), (0, k - sorted_ids.shape[1]))
+        sorted_ids = jnp.pad(sorted_ids, pad)
+        sorted_vals = jnp.pad(sorted_vals, pad, constant_values=NEG_INF)
+    top_ids, top_vals = sorted_ids[:, :k], sorted_vals[:, :k]
+    okk = top_vals > NEG_INF
+    return (
+        jnp.where(okk, top_ids, -1).astype(jnp.int32),
+        jnp.where(okk, top_vals, NEG_INF),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("hops",))
 def khop_chunk_scores(
     nbr: jax.Array,

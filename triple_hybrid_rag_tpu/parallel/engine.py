@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import RAGConfig
 from ..ops.bm25 import score_postings_topk_pre, score_postings_topk_tiered, score_termtable
 from ..ops.fusion import FusedCandidates, apply_safety_denoise, fuse_rrf, minmax_normalize
-from ..ops.graph import chunk_scores_from_entities_batch, khop_entity_scores
+from ..ops.graph import graph_topk_batch, khop_entity_scores
 from ..ops.maxsim import maxsim_scores
 from ..ops.topk import bucketed_masked_top_k_batch, masked_top_k, merge_topk
 from ..types import QueryPlan, RetrievalResult
@@ -475,17 +475,15 @@ class ShardedEngine:
                     )
                     return khop_entity_scores(nbr, seed_vec, hops=hops)
 
-                # per-query k-hop over the (small) entity graph, then ONE shared
-                # chunk gather for the whole batch (chunk_entities is
-                # query-independent; see chunk_scores_from_entities_batch)
+                # per-query k-hop over the (small) entity graph, then blocked
+                # bucket-maxima + member rescore: neither per-chunk scores nor
+                # the [N, M, B] gather intermediate ever materialize (that
+                # intermediate is 8 GB at 8M chunks x batch 64 — the 8M OOM),
+                # and the per-query length-N top-k sort is avoided
                 ent_all = jax.vmap(entity_frontier)(seed_rows)  # [B, e_pad]
-                sc_bn = chunk_scores_from_entities_batch(chunk_entities, ent_all)
-                # bucketed top-k: a vmapped lax.top_k over [B, n_loc] is a
-                # length-n sort per query (~40 ms/batch at 1M on v5e — the
-                # single most expensive stage before this)
-                g_ids, g_vals = bucketed_masked_top_k_batch(
-                    jnp.where(graph_on[:, None], sc_bn, 0.0), k_graph,
-                    valid=batch_row_mask(),
+                g_ids, g_vals = graph_topk_batch(
+                    chunk_entities, ent_all, k_graph,
+                    valid=batch_row_mask(), query_on=graph_on,
                 )
                 graph_ids, graph_scores = merge(g_ids, g_vals, k_graph)
             else:
