@@ -180,6 +180,9 @@ def build_synthetic(cfg: RAGConfig, embedder: BowHashEmbedder):
         blocks.append(e)
         scale_blocks.append(s)
     emb = jnp.concatenate(blocks)
+    # free the device copy of the doc-term table: only the host copy is needed
+    # from here (2 GB at 8M chunks — leaving it resident OOMs the 8M run)
+    del ids_dev
     valid = jnp.arange(n_pad) < N
     dense = DenseIndex(
         embeddings=emb, valid=valid, n_docs=N, n_pad=n_pad, dim=DIM, config=cfg,
