@@ -130,3 +130,53 @@ def test_int4_engine_fused_matches_xla(cfg4):
         a = eng_xla.retrieve(q)
         b = eng_fused.retrieve(q)
         assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
+
+
+def test_int4_topk_blocked_parity(rng):
+    """int4_topk_blocked (blocked unpack + bucket top-k, the production int4
+    path) == unpack-full scores + masked_top_k, bit-exact ids, incl. per-query
+    collection scoping and multi-block corpora."""
+    import jax
+    import jax.numpy as jnp
+
+    from triple_hybrid_rag_tpu.index.dense_index import int4_topk_blocked
+    from triple_hybrid_rag_tpu.ops.topk import masked_top_k
+
+    N, D, B, K = 5000, 128, 6, 32
+    mat = rng.standard_normal((N, D)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    packed, scales = quantize_rows_int4(mat)
+    valid = np.ones(N, bool)
+    valid[rng.integers(0, N, 100)] = False
+    collection_of = rng.integers(0, 3, N).astype(np.int32)
+    coll_cid = np.array([-1, 0, 1, 2, -2, 1], np.int32)
+    q = mat[rng.integers(0, N, B)] + 0.1 * rng.standard_normal((B, D)).astype(np.float32)
+
+    scores = dense_scores_int4_batch(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(q)
+    )
+
+    def ref_one(s, c):
+        v = jnp.asarray(valid)
+        v = jnp.where(c == -1, v, v & (jnp.asarray(collection_of) == c))
+        return masked_top_k(s, K, valid=v, invalid_score_floor=-2.0)
+
+    ref_ids, ref_vals = jax.vmap(ref_one)(scores, jnp.asarray(coll_cid))
+    got_ids, got_vals = int4_topk_blocked(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(valid),
+        jnp.asarray(q), K,
+        collection_of=jnp.asarray(collection_of), coll_cid=jnp.asarray(coll_cid),
+        block=1024,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
+    np.testing.assert_allclose(np.asarray(ref_vals), np.asarray(got_vals), rtol=2e-6)
+
+    # unscoped variant
+    ref_ids2, _ = jax.vmap(
+        lambda s: masked_top_k(s, K, valid=jnp.asarray(valid), invalid_score_floor=-2.0)
+    )(scores)
+    got_ids2, _ = int4_topk_blocked(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(valid),
+        jnp.asarray(q), K, block=2048,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ids2), np.asarray(got_ids2))

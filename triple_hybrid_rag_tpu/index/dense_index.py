@@ -14,6 +14,7 @@ Scores are cosine similarity == dot product of unit vectors, matching ``1 - (a <
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -179,8 +180,8 @@ def dense_scores_int4_batch(
     """Batched int4 scoring f32[B, n_pad] via full unpack -> two int8 matmuls.
 
     Materializes the unpacked int8 halves, so this is the SMALL-corpus / staged
-    debug path; at engine scale the fused Pallas kernel unpacks per block in
-    VMEM instead (``ops/pallas/fused_topk.py``)."""
+    debug path; at engine scale ``int4_topk_blocked`` bounds the unpack
+    transient to one row block."""
     q = query_vecs.astype(jnp.float32)
     q_absmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12)
     q_scale = q_absmax / 127.0  # [B, 1]
@@ -190,6 +191,114 @@ def dense_scores_int4_batch(
     acc = jnp.dot(q_i8[:, :d2], low.T, preferred_element_type=jnp.int32)
     acc += jnp.dot(q_i8[:, d2:], high.T, preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * scales[None, :] * q_scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bucket", "block", "invalid_score_floor")
+)
+def int4_topk_blocked(
+    packed: jax.Array,       # uint8[N, D/2] packed nibble rows
+    scales: jax.Array,       # f32[N] per-row dequant scales
+    valid: jax.Array,        # bool[N]
+    query_vecs: jax.Array,   # f32[B, D]
+    k: int,
+    collection_of: Optional[jax.Array] = None,  # i32[N]
+    coll_cid: Optional[jax.Array] = None,       # i32[B]
+    *,
+    invalid_score_floor: float = -2.0,
+    bucket: int = 16,
+    block: int = 1 << 18,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact batched int4 top-k, pure XLA, bounded unpack transient.
+
+    The production int4 dense channel. Unpacking the whole matrix costs 2 x
+    [N, D] int8 temps (16 GB at 8M x 1024) and the Pallas kernel's in-VMEM
+    unpack measured 3x slower than XLA's int8 matmuls on v5e (the per-block
+    lane->sublane relayouts of the scale/mask vectors dominate —
+    eval_results/fused_vs_bucketed_topk.json). This path unpacks one row
+    block at a time under ``lax.map`` (transient = 2 x block x D int8), takes
+    per-bucket maxima, then rescores the winning buckets' members — the same
+    exactness construction as ``ops.topk.bucketed_masked_top_k_batch``, so ids
+    match ``dense_scores_int4_batch`` + ``masked_top_k`` bit-exactly.
+    """
+    from ..ops.topk import NEG_INF
+
+    n, d2 = packed.shape
+    b = query_vecs.shape[0]
+    q = query_vecs.astype(jnp.float32)
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12)
+    q_scale = q_absmax / 127.0  # [B, 1]
+    q_i8 = jnp.clip(jnp.round(q / q_scale), -127, 127).astype(jnp.int8)
+
+    block = min(block, max(bucket, n))
+    while block > 1024 and n % block:
+        block //= 2
+    n_pad = ((n + block - 1) // block) * block
+    pk, sc, va, co = packed, scales, valid, collection_of
+    if n_pad != n:
+        pk = jnp.pad(pk, ((0, n_pad - n), (0, 0)))
+        sc = jnp.pad(sc, (0, n_pad - n), constant_values=1.0)
+        va = jnp.pad(va, (0, n_pad - n))
+        if co is not None:
+            co = jnp.pad(co, (0, n_pad - n), constant_values=-2)
+    assert block % bucket == 0
+    n_blocks = n_pad // block
+
+    def block_maxima(args):
+        p_blk, sc_blk, va_blk, co_blk = args
+        low, high = unpack_int4(p_blk)
+        acc = jnp.dot(q_i8[:, :d2], low.T, preferred_element_type=jnp.int32)
+        acc += jnp.dot(q_i8[:, d2:], high.T, preferred_element_type=jnp.int32)
+        s = acc.astype(jnp.float32) * sc_blk[None, :] * q_scale  # [B, block]
+        bad = ~va_blk[None, :] | (s <= invalid_score_floor)
+        if co is not None:
+            bad = bad | ((coll_cid[:, None] != -1) & (co_blk[None, :] != coll_cid[:, None]))
+        s = jnp.where(bad, NEG_INF, s)
+        return jnp.max(s.reshape(b, block // bucket, bucket), axis=2)
+
+    co_blocks = (
+        co.reshape(n_blocks, block)
+        if co is not None
+        else jnp.zeros((n_blocks, 1), jnp.int32)  # unused dummy
+    )
+    bmax = jax.lax.map(
+        block_maxima,
+        (pk.reshape(n_blocks, block, d2), sc.reshape(n_blocks, block),
+         va.reshape(n_blocks, block), co_blocks),
+    )  # [n_blocks, B, block/bucket]
+    bmax = bmax.transpose(1, 0, 2).reshape(b, n_pad // bucket)
+
+    kk = min(k, n_pad // bucket)
+    _, bucket_ids = jax.lax.top_k(bmax, kk)
+    member = (
+        bucket_ids[:, :, None] * bucket
+        + jnp.arange(bucket, dtype=bucket_ids.dtype)[None, None, :]
+    ).reshape(b, kk * bucket)
+    rows = jnp.clip(member, 0, n_pad - 1)
+    low_m, high_m = unpack_int4(pk[rows])  # i8[B, C, D/2]
+    acc = jnp.einsum("bcd,bd->bc", low_m.astype(jnp.int32),
+                     q_i8[:, :d2].astype(jnp.int32))
+    acc += jnp.einsum("bcd,bd->bc", high_m.astype(jnp.int32),
+                      q_i8[:, d2:].astype(jnp.int32))
+    cand = acc.astype(jnp.float32) * sc[rows] * q_scale
+    ok = va[rows] & (member < n) & (cand > invalid_score_floor)
+    if co is not None:
+        ok = ok & ((coll_cid[:, None] == -1) | (co[rows] == coll_cid[:, None]))
+    cand = jnp.where(ok, cand, NEG_INF)
+    sort_ids = jnp.where(cand > NEG_INF, member, jnp.iinfo(jnp.int32).max)
+    _, sorted_ids, sorted_vals = jax.lax.sort(
+        (-cand, sort_ids, cand), dimension=-1, num_keys=2
+    )
+    if sorted_ids.shape[1] < k:
+        pad = ((0, 0), (0, k - sorted_ids.shape[1]))
+        sorted_ids = jnp.pad(sorted_ids, pad)
+        sorted_vals = jnp.pad(sorted_vals, pad, constant_values=NEG_INF)
+    top_ids, top_vals = sorted_ids[:, :k], sorted_vals[:, :k]
+    okk = top_vals > NEG_INF
+    return (
+        jnp.where(okk, top_ids, -1).astype(jnp.int32),
+        jnp.where(okk, top_vals, NEG_INF),
+    )
 
 
 @jax.jit

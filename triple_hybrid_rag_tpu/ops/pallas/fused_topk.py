@@ -62,14 +62,25 @@ BLOCK_ROWS = 2048  # corpus rows per grid step (int8 tile: 2 MB VMEM at D=1024)
 NEG_INF = float("-inf")  # plain float: jnp scalars would be captured consts in kernels
 
 
+def _col(lane_ref):
+    """[1, block] lane vector -> [block, 1] sublane column, in VMEM.
+
+    The per-row aux operands (validity addmask, int8/int4 scales, collection
+    ids) ship as [1, N] LANE vectors and are transposed per block here: XLA
+    tiles an f32[N, 1] custom-call operand as T(8,128) — 512 BYTES per logical
+    element, i.e. 2 x 4 GB of HBM temps at 8M rows, which is what broke the 8M
+    one-chip compile. [1, N] tiles at 32 B/element (8-sublane waste only)."""
+    return jnp.transpose(lane_ref[:], (1, 0))
+
+
 def _mask_and_reduce(s, addmask_ref, coll_ref, cid_ref, bucket):
     """Apply validity + collection masks to f32[rows, B] scores, bucket-reduce."""
     rows, b = s.shape
-    s = s + addmask_ref[:]  # [rows, 1] additive 0 / -inf validity mask
+    s = s + _col(addmask_ref)  # [rows, 1] additive 0 / -inf validity mask
     if coll_ref is not None:
         # per-query collection scoping: cid -1 = unscoped, -2 = match nothing
         cid = cid_ref[:]  # i32[1, B]
-        ok = (cid == -1) | (coll_ref[:] == cid)  # [rows, B]
+        ok = (cid == -1) | (_col(coll_ref) == cid)  # [rows, B]
         s = jnp.where(ok, s, NEG_INF)
     bucket_max = jnp.max(s.reshape(rows // bucket, bucket, b), axis=1)
     return bucket_max.T  # [B, rows/bucket]
@@ -82,7 +93,7 @@ def _kernel_int8(q_ref, qs_ref, e_ref, scale_ref, addmask_ref, out_ref, *, bucke
         preferred_element_type=jnp.int32,
     )  # int32[rows, B]
     # dequant multiply order matches dense_scores_int8_batch: (acc*scale)*q_scale
-    s = acc.astype(jnp.float32) * scale_ref[:] * qs_ref[:]
+    s = acc.astype(jnp.float32) * _col(scale_ref) * qs_ref[:]
     out_ref[:] = _mask_and_reduce(s, addmask_ref, None, None, bucket)
 
 
@@ -93,7 +104,7 @@ def _kernel_int8_scoped(q_ref, qs_ref, cid_ref, e_ref, scale_ref, addmask_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    s = acc.astype(jnp.float32) * scale_ref[:] * qs_ref[:]
+    s = acc.astype(jnp.float32) * _col(scale_ref) * qs_ref[:]
     out_ref[:] = _mask_and_reduce(s, addmask_ref, coll_ref, cid_ref, bucket)
 
 
@@ -119,13 +130,13 @@ def _int4_acc(p_ref, q_ref):
 
 
 def _kernel_int4(q_ref, qs_ref, e_ref, scale_ref, addmask_ref, out_ref, *, bucket):
-    s = _int4_acc(e_ref, q_ref).astype(jnp.float32) * scale_ref[:] * qs_ref[:]
+    s = _int4_acc(e_ref, q_ref).astype(jnp.float32) * _col(scale_ref) * qs_ref[:]
     out_ref[:] = _mask_and_reduce(s, addmask_ref, None, None, bucket)
 
 
 def _kernel_int4_scoped(q_ref, qs_ref, cid_ref, e_ref, scale_ref, addmask_ref,
                         coll_ref, out_ref, *, bucket):
-    s = _int4_acc(e_ref, q_ref).astype(jnp.float32) * scale_ref[:] * qs_ref[:]
+    s = _int4_acc(e_ref, q_ref).astype(jnp.float32) * _col(scale_ref) * qs_ref[:]
     out_ref[:] = _mask_and_reduce(s, addmask_ref, coll_ref, cid_ref, bucket)
 
 
@@ -171,17 +182,20 @@ def quantize_queries_int8(query_vecs: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def bucket_maxima_pallas(
     embeddings: jax.Array,   # int8|bf16|f32[N, D]
     query_vecs: jax.Array,   # f32[B, D] (or pre-quantized int8 if scales given)
-    addmask: jax.Array,      # f32[N, 1]: 0 valid / -inf invalid
-    scales: Optional[jax.Array] = None,       # f32[N, 1] int8 row scales
+    addmask: jax.Array,      # f32[1, N]: 0 valid / -inf invalid (lane vector)
+    scales: Optional[jax.Array] = None,       # f32[1, N] int8 row scales
     q_scale: Optional[jax.Array] = None,      # f32[1, B] int8 query scales
-    collection_of: Optional[jax.Array] = None,  # i32[N, 1]
+    collection_of: Optional[jax.Array] = None,  # i32[1, N]
     coll_cid: Optional[jax.Array] = None,       # i32[1, B]
     *,
     block: int = BLOCK_ROWS,
     bucket: int = BUCKET,
     interpret: bool = False,
 ) -> jax.Array:
-    """f32[B, N/bucket] per-bucket score maxima; the fused matmul+reduce pass."""
+    """f32[B, N/bucket] per-bucket score maxima; the fused matmul+reduce pass.
+
+    Per-row aux operands are [1, N] LANE vectors (see _mask_and_reduce: a
+    [N, 1] f32 custom-call operand costs 512 B per element under TPU tiling)."""
     n, d = embeddings.shape  # d = D/2 packed bytes on the int4 path
     b, qd = query_vecs.shape
     assert n % block == 0 and block % bucket == 0, (n, block, bucket)
@@ -191,23 +205,25 @@ def bucket_maxima_pallas(
     is_int8 = embeddings.dtype == jnp.int8
     is_int4 = embeddings.dtype == jnp.uint8
 
-    row_spec = lambda width, dtype_last=False: pl.BlockSpec(  # noqa: E731
+    row_spec = lambda width: pl.BlockSpec(  # noqa: E731
         (block, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    qrow_spec = pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((b, qd), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((b, nb), lambda i: (0, i), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, n_blocks * nb), jnp.float32)
 
     if is_int8 or is_int4:
         args = [query_vecs, q_scale]
-        in_specs = [q_spec, pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        in_specs = [q_spec, qrow_spec]
         if scoped:
             args.append(coll_cid)
-            in_specs.append(pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM))
+            in_specs.append(qrow_spec)
         args += [embeddings, scales, addmask]
-        in_specs += [row_spec(d), row_spec(1), row_spec(1)]
+        in_specs += [row_spec(d), lane_spec, lane_spec]
         if scoped:
             args.append(collection_of)
-            in_specs.append(row_spec(1))
+            in_specs.append(lane_spec)
         if is_int4:
             kernel = functools.partial(
                 _kernel_int4_scoped if scoped else _kernel_int4, bucket=bucket)
@@ -216,15 +232,15 @@ def bucket_maxima_pallas(
                 _kernel_int8_scoped if scoped else _kernel_int8, bucket=bucket)
     else:
         args = [query_vecs.astype(embeddings.dtype).T]  # [D, B] for standard matmul
-        in_specs = [pl.BlockSpec((d, b), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        in_specs = [pl.BlockSpec((qd, b), lambda i: (0, 0), memory_space=pltpu.VMEM)]
         if scoped:
             args.append(coll_cid)
-            in_specs.append(pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM))
+            in_specs.append(qrow_spec)
         args += [embeddings, addmask]
-        in_specs += [row_spec(d), row_spec(1)]
+        in_specs += [row_spec(d), lane_spec]
         if scoped:
             args.append(collection_of)
-            in_specs.append(row_spec(1))
+            in_specs.append(lane_spec)
         kernel = functools.partial(
             _kernel_float_scoped if scoped else _kernel_float, bucket=bucket)
 
@@ -302,6 +318,12 @@ def fused_dense_topk(
     is_int8 = embeddings.dtype == jnp.int8
     is_int4 = embeddings.dtype == jnp.uint8  # packed nibbles, d = D/2
 
+    # shrink the block until it divides n: padding instead would COPY the whole
+    # embedding matrix (a 4 GB temp at 8M int4; engine capacities are 1024-
+    # multiples, so a block of 1024 always divides without padding)
+    while block > 1024 and n % block:
+        block //= 2
+
     # The Mosaic lowering needs the out-block lane dim (block/kernel_bucket) to be
     # a multiple of 128, which caps the in-kernel bucket at block/128. Larger
     # effective buckets fold the kernel's maxima once more in XLA (a cheap
@@ -319,14 +341,14 @@ def fused_dense_topk(
             scales = jnp.pad(scales, (0, n_pad - n), constant_values=1.0)
         if collection_of is not None:
             collection_of = jnp.pad(collection_of, (0, n_pad - n), constant_values=-2)
-    addmask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+    addmask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, :]
 
     if is_int8 or is_int4:
         q_i8, q_scale = quantize_queries_int8(query_vecs)
         bucket_max = bucket_maxima_pallas(
             embeddings, q_i8, addmask,
-            scales=scales[:, None], q_scale=q_scale.T,
-            collection_of=None if collection_of is None else collection_of[:, None],
+            scales=scales[None, :], q_scale=q_scale.T,
+            collection_of=None if collection_of is None else collection_of[None, :],
             coll_cid=None if coll_cid is None else coll_cid[None, :],
             block=block, bucket=kernel_bucket, interpret=interpret,
         )
@@ -334,7 +356,7 @@ def fused_dense_topk(
         q_i8, q_scale = None, None
         bucket_max = bucket_maxima_pallas(
             embeddings, query_vecs, addmask,
-            collection_of=None if collection_of is None else collection_of[:, None],
+            collection_of=None if collection_of is None else collection_of[None, :],
             coll_cid=None if coll_cid is None else coll_cid[None, :],
             block=block, bucket=kernel_bucket, interpret=interpret,
         )

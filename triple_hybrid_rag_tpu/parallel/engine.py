@@ -311,16 +311,22 @@ class ShardedEngine:
         # use_fused_topk None = auto: the bucketed-XLA path is faster at every
         # measured shape (config.py:use_fused_topk), so the fused kernel only
         # auto-enables when the f32[B, n_loc] score transient would cost real
-        # HBM headroom (large corpora), and never on CPU hosts
+        # HBM headroom (large corpora), and never on CPU hosts. int4 never
+        # auto-picks the kernel: int4_topk_blocked bounds the unpack transient
+        # in pure XLA and measured 3x faster than the kernel on v5e.
         if cfg.use_fused_topk is not None:
             fused_flag = cfg.use_fused_topk
         else:
             score_bytes = 4 * batch * self.n_loc
             fused_flag = (
-                jax.devices()[0].platform != "cpu"
+                not use_int4
+                and jax.devices()[0].platform != "cpu"
                 and score_bytes > cfg.fused_topk_auto_bytes
             )
         use_fused = use_sem and fused_flag
+        # int4's scalable XLA path (blocked unpack + bucket top-k): the default
+        # whenever the full unpack would materialize (score matrix era sizes)
+        use_int4_blocked = use_int4 and not use_fused
         # Pallas compiles natively on TPU; on CPU hosts (tests, virtual meshes)
         # the kernel runs in interpret mode so the fused path stays exercisable.
         fused_interpret = jax.devices()[0].platform == "cpu"
@@ -433,13 +439,17 @@ class ShardedEngine:
                     interpret=fused_interpret,
                 )
                 sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
-            elif use_int4:
-                # unpack-full XLA fallback: materializes the int8 halves, so this
-                # is only for small corpora / CPU tests — at int4's target scale
-                # (8-16M rows) the fused kernel above is the production path
-                from ..index.dense_index import dense_scores_int4_batch
+            elif use_int4_blocked:
+                # production int4 path: blocked unpack (bounded transient) +
+                # bucket top-k, pure XLA (index/dense_index.int4_topk_blocked)
+                from ..index.dense_index import int4_topk_blocked
 
-                scores = dense_scores_int4_batch(embeddings, dense_scales, q_vec)
+                d_ids, d_vals = int4_topk_blocked(
+                    embeddings, dense_scales, valid, q_vec, k_sem,
+                    collection_of=collection_of if scoped else None,
+                    coll_cid=coll_cid if scoped else None,
+                )
+                sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
             elif use_int8:
                 from ..index.dense_index import dense_scores_int8_batch
 
@@ -449,7 +459,7 @@ class ShardedEngine:
                     q_vec.astype(embeddings.dtype), embeddings.T,
                     preferred_element_type=jnp.float32,
                 )  # [B, n_loc]
-            if use_sem and not use_fused:
+            if use_sem and not use_fused and not use_int4_blocked:
                 m = batch_row_mask()
                 d_ids, d_vals = bucketed_masked_top_k_batch(
                     scores, k_sem,
