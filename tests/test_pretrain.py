@@ -157,3 +157,31 @@ def test_training_step_learns():
                         jnp.asarray(dap), jnp.asarray(dat))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_encoder_anchor_pool_override():
+    """config.encoder_anchor_pool_w2 re-weights the packaged encoder's pooled
+    anchor blend at load time (trained 0.5 -> default 0.65; measured strictly
+    better off-distribution, zero paraphrase loss — see config.py)."""
+    from triple_hybrid_rag_tpu.config import RAGConfig
+    from triple_hybrid_rag_tpu.models.pretrain import load_default_encoder
+
+    base = RAGConfig(capacity_round=64)
+    e_default = load_default_encoder(base)
+    if e_default is None:
+        import pytest
+
+        pytest.skip("no packaged encoder weights")
+    assert abs(e_default.enc_cfg.anchor_pool_w2 - 0.65) < 1e-9
+    e_ckpt = load_default_encoder(base.replace(encoder_anchor_pool_w2=None))
+    assert abs(e_ckpt.enc_cfg.anchor_pool_w2 - 0.5) < 1e-9  # checkpoint value
+    e_hi = load_default_encoder(base.replace(encoder_anchor_pool_w2=0.8))
+    assert abs(e_hi.enc_cfg.anchor_pool_w2 - 0.8) < 1e-9
+    # distinct cache entries, same trained weights
+    assert e_hi is not e_default
+    import numpy as np
+
+    t = "paraphrase capable retrieval"
+    v_a = np.asarray(e_default.embed_texts([t]))[0]
+    v_b = np.asarray(e_hi.embed_texts([t]))[0]
+    assert not np.allclose(v_a, v_b)  # blend actually differs

@@ -108,6 +108,12 @@ class RAGConfig:
     embedding_dim_full: int = 2048  # model-native dim before Matryoshka truncation
     embedding_dim: int = 1024  # Matryoshka prefix-truncated + re-L2-normalized
     embedding_dtype: str = "bfloat16"  # HBM matrix dtype: float32|bfloat16|int8|int4
+    # Inference-time override of the packaged encoder's pooled-anchor blend weight
+    # (squared). The checkpoint trains at 0.5; 0.65 measured strictly better on
+    # off-distribution text (+5.2pp dense-only recall@10 on the 1500-doc
+    # docstring corpus) with ZERO paraphrase-holdout loss at 400 docs
+    # (eval_results/round2_measurements.json). None = use the checkpoint value.
+    encoder_anchor_pool_w2: Optional[float] = 0.65
     embedding_batch_size: int = 20
 
     # ---- lexical / BM25 engine (TPU-native replacement for Postgres FTS) ----

@@ -344,10 +344,13 @@ def load_default_encoder(rag_cfg: Optional[RAGConfig] = None, path=None):
     path = Path(path) if path is not None else DEFAULT_PARAMS
     if not path.exists():
         return None
-    cache_key = (str(path), rag_cfg.maxsim_dim)
+    pool_w2 = getattr(rag_cfg, "encoder_anchor_pool_w2", None)
+    cache_key = (str(path), rag_cfg.maxsim_dim, pool_w2)
     if cache_key in _ENCODER_CACHE:
         return _ENCODER_CACHE[cache_key]
     try:
+        import dataclasses
+
         import jax.numpy as jnp
 
         from .encoder import Encoder, EncoderConfig, EncoderEmbedder
@@ -355,6 +358,12 @@ def load_default_encoder(rag_cfg: Optional[RAGConfig] = None, path=None):
         npz = np.load(path)
         meta = json.loads(bytes(npz["__meta__"]).decode())
         enc_cfg = EncoderConfig(**meta["encoder_config"])
+        if pool_w2 is not None:
+            # inference-time anchor re-weighting (config.encoder_anchor_pool_w2):
+            # strengthens the deterministic BoW component for off-distribution
+            # text without touching the trained weights or the MaxSim token
+            # calibration (anchor_token_w2 stays at the trained value)
+            enc_cfg = dataclasses.replace(enc_cfg, anchor_pool_w2=pool_w2)
         # rebuild the param tree from the template structure
         from .encoder import init_encoder, load_encoder_params
 
