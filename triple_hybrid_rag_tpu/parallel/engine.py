@@ -152,23 +152,40 @@ class ShardedEngine:
         self.n_pad = n_pad
         self.n_loc = n_pad // s
 
-        # may_alias: when a source array is already on a mesh device with the
-        # target layout (always true for the 1-chip mesh), placement reuses the
-        # buffer instead of copying — without it, placement transiently holds
-        # index + placed copies (2x ~11 GB at 8M chunks int8 = OOM on 16 GB HBM).
-        # Measured on v5e: 4 GB device_put 5.8 ms (copy) -> 0.2 ms (alias).
+        # On a 1-device mesh an index array that already lives on that device is
+        # used AS-IS: every 1-device sharding is equivalent, jit compiles for
+        # the actual input shardings, and re-placement on this backend round-
+        # trips through the host (measured 91 s for 8.4 GB at 12M) while
+        # transiently holding TWO copies of the index — the allocation that
+        # capped the one-chip corpus. Multi-device meshes always re-place (the
+        # rows genuinely move), with may_alias for the same-layout shards.
+        single_dev = (
+            self.mesh.size == 1 and jax.devices()[0] == self.mesh.devices.flat[0]
+        )
+
+        def _maybe_reuse(arr, place):
+            if (
+                single_dev
+                and isinstance(arr, jax.Array)
+                and arr.devices() == {self.mesh.devices.flat[0]}
+            ):
+                return arr
+            return place(arr)
+
         def shard_rows(arr, ndim=1):
             spec = P("shard", *([None] * (ndim - 1)))
-            return jax.device_put(
-                _pad_rows(arr, n_pad), NamedSharding(self.mesh, spec), may_alias=True
-            )
+            arr = _pad_rows(arr, n_pad)
+            return _maybe_reuse(arr, lambda a: jax.device_put(
+                a, NamedSharding(self.mesh, spec), may_alias=True))
 
         def shard_stacked(arr, ndim):
             spec = P("shard", *([None] * (ndim - 1)))
-            return jax.device_put(arr, NamedSharding(self.mesh, spec), may_alias=True)
+            return _maybe_reuse(arr, lambda a: jax.device_put(
+                a, NamedSharding(self.mesh, spec), may_alias=True))
 
         def repl(arr):
-            return jax.device_put(arr, NamedSharding(self.mesh, P()), may_alias=True)
+            return _maybe_reuse(arr, lambda a: jax.device_put(
+                a, NamedSharding(self.mesh, P()), may_alias=True))
 
         # ---- lexical: per-shard CSR (sorted path) or sharded termtable ----
         self.lexical_mode = "none"
