@@ -41,6 +41,68 @@ def test_pairs_are_paraphrases_not_copies():
     assert pairs == pairs2
 
 
+def test_realtext_pairs_are_inverse_cloze():
+    """Real-text pairs: the query sentence is REMOVED from the positive span, the
+    positive is bounded at the window, and generation is deterministic per seed."""
+    from triple_hybrid_rag_tpu.models.pretrain import make_realtext_pairs
+
+    docs = [
+        "Alpha beta gamma delta epsilon zeta eta theta. "
+        "Iota kappa lambda mu nu xi omicron pi. "
+        "Rho sigma tau upsilon phi chi psi omega. ",
+        "One two three four five six seven eight. "
+        "Nine ten eleven twelve thirteen fourteen fifteen sixteen. ",
+    ]
+    pairs = make_realtext_pairs(20, np.random.default_rng(3), docs=docs, window=10)
+    assert len(pairs) == 20
+    for q, d in pairs:
+        assert q and d
+        assert q not in d  # held-out sentence truly removed
+        assert len(d.split()) <= 10
+    assert pairs == make_realtext_pairs(20, np.random.default_rng(3), docs=docs, window=10)
+
+
+def test_train_sources_disjoint_from_eval_sources():
+    """The real-text training corpus must never overlap any quality-eval corpus —
+    otherwise the independent evals stop being independent."""
+    from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES
+    from triple_hybrid_rag_tpu.models.pretrain import TRAIN_TEXT_SOURCES
+
+    eval_sources = set(_PACKAGE_SOURCES) | {"stdlib"}
+    assert not (set(TRAIN_TEXT_SOURCES) & eval_sources)
+
+
+def test_mixed_pairs_include_realtext():
+    from triple_hybrid_rag_tpu.models.pretrain import make_mixed_pairs
+
+    docs = ["Alpha beta gamma delta epsilon zeta eta theta. " * 4]
+    rng = np.random.default_rng(0)
+    pairs = make_mixed_pairs(
+        40, rng, overlap_frac=0.3, realtext_frac=0.35, realtext_docs=docs
+    )
+    assert len(pairs) == 40
+    n_real = sum(1 for _, d in pairs if "alpha" in d.lower())
+    assert n_real >= 10  # ~14 expected
+
+
+@needs_weights
+def test_encoder_params_path_config_override(tmp_path):
+    """config.encoder_params_path points the auto-default at custom weights."""
+    import shutil
+
+    from triple_hybrid_rag_tpu.models.encoder import EncoderEmbedder
+
+    alt = tmp_path / "enc.npz"
+    shutil.copy(DEFAULT_PARAMS, alt)
+    cfg = RAGConfig(encoder_params_path=str(alt))
+    emb = load_default_encoder(cfg)
+    assert isinstance(emb, EncoderEmbedder)
+    # distinct cache entry from the packaged-path instance
+    assert emb is not load_default_encoder(RAGConfig())
+    missing = RAGConfig(encoder_params_path=str(tmp_path / "nope.npz"))
+    assert load_default_encoder(missing) is None
+
+
 def test_holdout_zero_token_overlap():
     """The eval set's core property: query and its relevant doc share NO analyzed
     tokens — any retrieval success is semantic, not lexical."""

@@ -225,7 +225,8 @@ def cmd_train_encoder(args: argparse.Namespace) -> int:
 
     out = args.out or DEFAULT_PARAMS
     path, metrics = train_default_encoder(
-        out_path=out, steps=args.steps, batch_size=args.batch_size, seed=args.seed
+        out_path=out, steps=args.steps, batch_size=args.batch_size, seed=args.seed,
+        overlap_frac=args.overlap_frac, realtext_frac=args.realtext_frac,
     )
     print(f"saved {path} (final loss {metrics['loss']:.4f}, acc {metrics['accuracy']:.3f})")
     emb = load_default_encoder(path=path)
@@ -325,6 +326,11 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--overlap-frac", type=float, default=0.3,
+                   help="fraction of random-token overlap pairs (identity prior)")
+    p.add_argument("--realtext-frac", type=float, default=0.35,
+                   help="fraction of real-prose inverse-cloze pairs (harvested from "
+                        "TRAIN_TEXT_SOURCES packages, disjoint from eval corpora)")
     p.set_defaults(fn=cmd_train_encoder)
 
     p = sub.add_parser("serve", help="HTTP serving host (/query /ingest /metrics)")

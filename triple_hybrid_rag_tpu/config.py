@@ -114,6 +114,10 @@ class RAGConfig:
     # docstring corpus) with ZERO paraphrase-holdout loss at 400 docs
     # (eval_results/round2_measurements.json). None = use the checkpoint value.
     encoder_anchor_pool_w2: Optional[float] = 0.65
+    # Path to encoder weights (npz from `thr train-encoder --out ...`). None = the
+    # packaged default (models/data/encoder.npz). Lets a user ship corpus-fitted
+    # weights without overwriting the package file.
+    encoder_params_path: Optional[str] = None
     embedding_batch_size: int = 20
 
     # ---- lexical / BM25 engine (TPU-native replacement for Postgres FTS) ----

@@ -234,10 +234,83 @@ def make_overlap_pairs(n: int, rng: np.random.Generator) -> List[Tuple[str, str]
     return pairs
 
 
-def make_mixed_pairs(n: int, rng: np.random.Generator, overlap_frac: float = 0.5):
-    """Training mixture: paraphrase (synonym geometry) + overlap (identity prior)."""
+#: In-image packages whose docstrings form the REAL-TEXT training corpus. Chosen
+#: DISJOINT from every quality-evaluation source (``eval._PACKAGE_SOURCES`` =
+#: numpy/scipy/pandas/jax/torch/einops/chex, plus "stdlib") so the independent
+#: evals stay independent: the encoder never sees a single eval-corpus sentence
+#: during training, only same-register prose by other authors.
+TRAIN_TEXT_SOURCES = (
+    "sklearn", "matplotlib", "sympy", "networkx", "requests", "urllib3",
+    "flax", "optax", "setuptools", "jinja2", "yaml",
+)
+
+_REALTEXT_CACHE: Dict[tuple, List[str]] = {}
+
+
+def realtext_documents(
+    max_docs: int = 2000, sources: Sequence[str] = TRAIN_TEXT_SOURCES
+) -> List[str]:
+    """Harvested real-prose training documents (cached per argument set)."""
+    key = (max_docs, tuple(sources))
+    if key not in _REALTEXT_CACHE:
+        from ..eval import _stdlib_documents
+
+        _REALTEXT_CACHE[key] = [
+            t for _, t in _stdlib_documents(max_docs=max_docs, sources=sources)
+        ]
+    return _REALTEXT_CACHE[key]
+
+
+def make_realtext_pairs(
+    n: int,
+    rng: np.random.Generator,
+    docs: Optional[Sequence[str]] = None,
+    window: int = 48,
+) -> List[Tuple[str, str]]:
+    """(query, positive) inverse-cloze pairs over REAL prose.
+
+    Round-2 measurement: trained only on the synthetic lexicon + random-token
+    overlap pairs, the encoder's contextual part is NOISE on real text — dense-only
+    recall on the 1500-doc docstring corpus was 0.447, BELOW the pure BoW-hash
+    anchor geometry's 0.485 (eval_results/fusion_sweep.json). These pairs teach the
+    contextual part real-text co-occurrence: the query is one sentence REMOVED from
+    a harvested docstring, the positive is a random ``window``-word span of the
+    remainder — exactly the inverse-cloze task the independent evals pose, but over
+    :data:`TRAIN_TEXT_SOURCES`, which share no document with any eval corpus.
+    """
+    texts = list(docs) if docs is not None else realtext_documents()
+    pairs: List[Tuple[str, str]] = []
+    attempts = 0
+    while len(pairs) < n and attempts < 50 * n:
+        attempts += 1
+        t = texts[int(rng.integers(len(texts)))]
+        sents = [s.strip() for s in t.replace("\n", " ").split(". ") if len(s.split()) >= 6]
+        if len(sents) < 2:
+            continue
+        qi = int(rng.integers(len(sents)))
+        q = sents[qi]
+        rest_words = " ".join(sents[:qi] + sents[qi + 1 :]).split()
+        if len(rest_words) > window:
+            start = int(rng.integers(0, len(rest_words) - window + 1))
+            rest_words = rest_words[start : start + window]
+        pairs.append((q, " ".join(rest_words)))
+    return pairs
+
+
+def make_mixed_pairs(
+    n: int,
+    rng: np.random.Generator,
+    overlap_frac: float = 0.5,
+    realtext_frac: float = 0.0,
+    realtext_docs: Optional[Sequence[str]] = None,
+):
+    """Training mixture: paraphrase (synonym geometry) + overlap (identity prior)
+    + real-text inverse cloze (real-prose co-occurrence; see make_realtext_pairs)."""
+    n_real = int(n * realtext_frac)
     n_overlap = int(n * overlap_frac)
-    pairs = make_pairs(n - n_overlap, rng) + make_overlap_pairs(n_overlap, rng)
+    pairs = make_pairs(n - n_overlap - n_real, rng) + make_overlap_pairs(n_overlap, rng)
+    if n_real:
+        pairs += make_realtext_pairs(n_real, rng, docs=realtext_docs)
     order = rng.permutation(len(pairs))
     return [pairs[i] for i in order]
 
@@ -341,7 +414,11 @@ def load_default_encoder(rag_cfg: Optional[RAGConfig] = None, path=None):
     Instances are cached per (path, config) so repeated facade construction reuses one
     jitted model instead of recompiling."""
     rag_cfg = rag_cfg or get_settings()
-    path = Path(path) if path is not None else DEFAULT_PARAMS
+    if path is None:
+        cfg_path = getattr(rag_cfg, "encoder_params_path", None)
+        path = Path(cfg_path) if cfg_path else DEFAULT_PARAMS
+    else:
+        path = Path(path)
     if not path.exists():
         return None
     pool_w2 = getattr(rag_cfg, "encoder_anchor_pool_w2", None)
@@ -394,12 +471,16 @@ def train_default_encoder(
     enc_cfg=None,
     log_every: int = 100,
     lr: float = 1e-3,
+    overlap_frac: float = 0.3,
+    realtext_frac: float = 0.35,
 ):
     """Train the packaged encoder on generated paraphrase pairs and save it.
 
-    Deterministic given ``seed``. Loss = symmetric InfoNCE over pooled embeddings at
-    Matryoshka prefixes (1024/512/256) + a MaxSim token-level InfoNCE term (trains the
-    late-interaction head, ColBERT-style). Returns (path, metrics)."""
+    Deterministic given ``seed`` (+ the installed versions of
+    :data:`TRAIN_TEXT_SOURCES` when ``realtext_frac`` > 0). Loss = symmetric InfoNCE
+    over pooled embeddings at Matryoshka prefixes (1024/512/256) + a MaxSim
+    token-level InfoNCE term (trains the late-interaction head, ColBERT-style).
+    Returns (path, metrics)."""
     import jax
     import jax.numpy as jnp
 
@@ -423,9 +504,13 @@ def train_default_encoder(
 
     from .encoder import anchor_arrays
 
+    real_docs = realtext_documents() if realtext_frac > 0 else None
     metrics = {}
     for s in range(steps):
-        pairs = make_mixed_pairs(batch_size, rng)
+        pairs = make_mixed_pairs(
+            batch_size, rng, overlap_frac=overlap_frac,
+            realtext_frac=realtext_frac, realtext_docs=real_docs,
+        )
         q_texts = [q for q, _ in pairs]
         d_texts = [d for _, d in pairs]
         q_ids, q_mask = hasher.encode(q_texts, max_tokens=32)
