@@ -38,6 +38,11 @@ def main() -> int:
     ap.add_argument("--embedder", default=None,
                     choices=["encoder", "bowhash", "hash"],
                     help="embedder_backend override (default: config auto)")
+    ap.add_argument("--encoder-path", default=None,
+                    help="encoder weights npz (config.encoder_params_path override; "
+                         "A/B candidate weights against the packaged default)")
+    ap.add_argument("--anchor-w2", type=float, default=None,
+                    help="encoder_anchor_pool_w2 override")
     ap.add_argument("--weights", default=None,
                     help="lexical,semantic,graph RRF weight override, e.g. 1.0,0.5,0.6")
     args = ap.parse_args()
@@ -58,6 +63,10 @@ def main() -> int:
         base = base.replace(rerank_blend_rrf=args.blend)
     if args.embedder is not None:
         base = base.replace(embedder_backend=args.embedder)
+    if args.encoder_path is not None:
+        base = base.replace(encoder_params_path=args.encoder_path)
+    if args.anchor_w2 is not None:
+        base = base.replace(encoder_anchor_pool_w2=args.anchor_w2)
     if args.weights is not None:
         lw, sw, gw = (float(x) for x in args.weights.split(","))
         base = base.replace(lexical_weight=lw, semantic_weight=sw, graph_weight=gw)

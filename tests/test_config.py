@@ -47,6 +47,15 @@ def test_env_overrides(monkeypatch):
     assert cfg.planner_backend == "llm"
 
 
+def test_env_optional_str_fields(monkeypatch):
+    """None-default Optional[str] fields (encoder_params_path) parse from env;
+    empty values keep None."""
+    monkeypatch.setenv("RAG_ENCODER_PARAMS_PATH", "/some/weights.npz")
+    assert RAGConfig.from_env().encoder_params_path == "/some/weights.npz"
+    monkeypatch.setenv("RAG_ENCODER_PARAMS_PATH", "  ")
+    assert RAGConfig.from_env().encoder_params_path is None
+
+
 def test_singleton_reset(monkeypatch):
     reset_settings()
     a = get_settings()

@@ -247,6 +247,10 @@ class RAGConfig:
                 raw = os.environ[env_name].strip().lower()
                 if raw not in ("", "auto"):
                     env_map[f.name] = _env_bool(env_name, False)
+            elif default is None and f.type in ("Optional[str]", "typing.Optional[str]"):
+                raw = os.environ[env_name]
+                if raw.strip():
+                    env_map[f.name] = raw
             # tuple-typed / other None-default fields are not env-configurable
         env_map.update(overrides)
         return dataclasses.replace(base, **env_map)  # type: ignore[arg-type]
