@@ -264,3 +264,86 @@ def test_fuse_rrf_pool_smaller_than_top_k():
     assert int(out.ids[0]) == 5 and float(out.rrf[0]) > 0
     assert np.all(np.asarray(out.ids[1:]) == -1)
     assert np.all(np.asarray(out.rrf[1:]) == 0.0)
+
+
+def python_combsum_oracle(channels, weights):
+    """channels: dict name -> (ids, scores). CombSUM over per-channel min-max."""
+    fused = {}
+    for (name, (ids, scores)), w in zip(channels.items(), weights):
+        if not ids:
+            continue
+        lo, hi = min(scores), max(scores)
+        for cid, sc in zip(ids, scores):
+            norm = (sc - lo) / (hi - lo) if hi > lo else 1.0
+            fused[cid] = fused.get(cid, 0.0) + w * norm
+    return fused
+
+
+def test_score_blend_zero_is_exact_rank_rrf():
+    lex, lex_s = [3, 1, 4], [3.0, 2.0, 1.0]
+    sem, sem_s = [1, 5, 9, 2], [0.9, 0.8, 0.7, 0.6]
+    w = jnp.asarray([0.7, 0.8, 1.0], jnp.float32)
+    args = (
+        pad_ids(lex, 8), pad_scores(lex_s, 8),
+        pad_ids(sem, 8), pad_scores(sem_s, 8),
+        pad_ids([], 8), pad_scores([], 8), w,
+    )
+    a = fuse_rrf(*args, rrf_k=60, top_k=10)
+    b = fuse_rrf(*args, rrf_k=60, top_k=10, score_blend=0.0)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_allclose(np.asarray(a.rrf), np.asarray(b.rrf))
+
+
+def test_score_blend_one_matches_combsum_oracle():
+    lex, lex_s = [3, 1, 4], [3.0, 2.0, 1.0]
+    sem, sem_s = [1, 5, 9, 2], [0.9, 0.8, 0.7, 0.6]
+    gr, gr_s = [5, 3], [1.0, 0.5]
+    weights = (0.7, 0.8, 1.0)
+    oracle = python_combsum_oracle(
+        {"l": (lex, lex_s), "s": (sem, sem_s), "g": (gr, gr_s)}, weights
+    )
+    o_max = max(oracle.values())
+    out = fuse_rrf(
+        pad_ids(lex, 8), pad_scores(lex_s, 8),
+        pad_ids(sem, 8), pad_scores(sem_s, 8),
+        pad_ids(gr, 8), pad_scores(gr_s, 8),
+        jnp.asarray(weights, jnp.float32),
+        rrf_k=60, top_k=10, score_blend=1.0,
+    )
+    ids = np.asarray(out.ids)
+    key = np.asarray(out.rrf)
+    got = {int(i): float(s) for i, s in zip(ids, key) if i >= 0}
+    assert set(got) == set(oracle)
+    for cid, score in oracle.items():
+        # fuse_rrf max-normalizes the blended key over the pool
+        assert got[cid] == pytest.approx(score / o_max, rel=1e-5)
+    valid = key[ids >= 0]
+    assert np.all(np.diff(valid) <= 1e-7)
+
+
+def test_score_blend_uses_score_gaps_ranks_cannot_see():
+    """Two rank-2 hits are identical to rank-RRF; CombSUM separates them by how
+    far each sits from its own list's leader — the information rank fusion
+    discards (the mechanism behind the 0.525 -> 0.560 lab result)."""
+    # lexical: doc 2 is a close runner-up (8 vs 10); semantic: doc 8 is far
+    # behind its leader (0.35 vs 0.9 over a 0.6 span)
+    lex, lex_s = [1, 2, 3], [10.0, 8.0, 1.0]
+    sem, sem_s = [7, 8, 9], [0.9, 0.35, 0.3]
+    w = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    args = (
+        pad_ids(lex, 8), pad_scores(lex_s, 8),
+        pad_ids(sem, 8), pad_scores(sem_s, 8),
+        pad_ids([], 8), pad_scores([], 8), w,
+    )
+    rrf_out = fuse_rrf(*args, rrf_k=60, top_k=6)
+    comb_out = fuse_rrf(*args, rrf_k=60, top_k=6, score_blend=1.0)
+    rrf_ids, rrf_key = np.asarray(rrf_out.ids), np.asarray(rrf_out.rrf)
+    comb_ids, comb_key = np.asarray(comb_out.ids), np.asarray(comb_out.rrf)
+    # rank-RRF: both rank-2 docs score identically
+    assert float(rrf_key[list(rrf_ids).index(2)]) == pytest.approx(
+        float(rrf_key[list(rrf_ids).index(8)]), rel=1e-6
+    )
+    # CombSUM: doc 2 (norm 7/9) well above doc 8 (norm 0.05/0.6)
+    d2 = float(comb_key[list(comb_ids).index(2)])
+    d8 = float(comb_key[list(comb_ids).index(8)])
+    assert d2 > d8 + 0.5

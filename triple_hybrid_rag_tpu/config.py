@@ -69,6 +69,12 @@ class RAGConfig:
     lexical_weight: float = 0.7
     semantic_weight: float = 0.8
     graph_weight: float = 1.0
+    # Ordering-key interpolation between rank-RRF (0.0, reference behavior) and
+    # CombSUM over per-channel min-max scores (1.0). Rank fusion discards score
+    # magnitude; on the hard 1500-doc docstring corpus CombSUM lifts hybrid
+    # recall@10 0.525 -> 0.560 with identical channels (scripts/fusion_lab.py,
+    # eval_results/fusion_lab.json). Default 0.0 = exact reference semantics.
+    fusion_score_blend: float = 0.0
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
     # NOTE: the threshold applies to rerank scores and is calibrated to the reranker.

@@ -473,6 +473,7 @@ def train_default_encoder(
     lr: float = 1e-3,
     overlap_frac: float = 0.3,
     realtext_frac: float = 0.35,
+    init_params_path=None,
 ):
     """Train the packaged encoder on generated paraphrase pairs and save it.
 
@@ -480,7 +481,13 @@ def train_default_encoder(
     :data:`TRAIN_TEXT_SOURCES` when ``realtext_frac`` > 0). Loss = symmetric InfoNCE
     over pooled embeddings at Matryoshka prefixes (1024/512/256) + a MaxSim
     token-level InfoNCE term (trains the late-interaction head, ColBERT-style).
-    Returns (path, metrics)."""
+
+    ``init_params_path`` warm-starts from a previously packaged checkpoint (same
+    EncoderConfig required) — the fine-tuning path: round-2 A/B showed a cold
+    retrain with a realtext-heavy mixture trades hermetic paraphrase recall
+    (dense-only 1.00 -> 0.78) for the real-text gain, while a low-LR fine-tune
+    from the shipped weights keeps the paraphrase geometry and adds real-prose
+    co-occurrence on top. Returns (path, metrics)."""
     import jax
     import jax.numpy as jnp
 
@@ -498,6 +505,26 @@ def train_default_encoder(
         maxsim_weight=0.25,
     )
     model, state = create_train_state(train_enc_cfg, tc)
+    if init_params_path is not None:
+        npz = np.load(init_params_path)
+        meta = json.loads(bytes(npz["__meta__"]).decode())
+        saved = {
+            k: v for k, v in meta["encoder_config"].items() if k != "dtype"
+        }
+        want = {k: v for k, v in enc_cfg.__dict__.items() if k != "dtype"}
+        if saved != want:
+            raise ValueError(
+                f"init_params_path EncoderConfig mismatch: {saved} != {want}"
+            )
+        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(state.params)
+        new_leaves = []
+        for keypath, leaf in leaves_with_path:
+            name = "/".join(str(getattr(k, "key", k)) for k in keypath)
+            arr = npz[name].astype(np.float32)
+            if arr.shape != leaf.shape:
+                raise ValueError(f"shape mismatch for {name}")
+            new_leaves.append(jnp.asarray(arr))
+        state = state.replace(params=jax.tree_util.tree_unflatten(treedef, new_leaves))
     step_fn = make_train_step(model, tc)
     hasher = TextHasher(train_enc_cfg, get_settings())
     rng = np.random.default_rng(seed)

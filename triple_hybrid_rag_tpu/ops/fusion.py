@@ -39,7 +39,7 @@ class FusedCandidates(NamedTuple):
     """Fixed-width fused candidate set, sorted by RRF score descending."""
 
     ids: jax.Array  # i32[K] corpus rows, -1 invalid
-    rrf: jax.Array  # f32[K] fused RRF scores (0 for invalid)
+    rrf: jax.Array  # f32[K] fused ordering score (rank-RRF; score-blended when score_blend > 0)
     lexical: jax.Array  # f32[K] raw per-channel scores (0 when absent)
     semantic: jax.Array  # f32[K]
     graph: jax.Array  # f32[K]
@@ -57,7 +57,7 @@ def _rank_lookup(
     return found, rank, raw
 
 
-@functools.partial(jax.jit, static_argnames=("rrf_k", "top_k"))
+@functools.partial(jax.jit, static_argnames=("rrf_k", "top_k", "score_blend"))
 def fuse_rrf(
     lex_ids: jax.Array,
     lex_scores: jax.Array,
@@ -69,16 +69,28 @@ def fuse_rrf(
     *,
     rrf_k: int = 60,
     top_k: int = 50,
+    score_blend: float = 0.0,
 ) -> FusedCandidates:
     """Fuse three ranked channels with weighted RRF; dedupe; sort; truncate to top_k.
 
     Channel id lists are assumed rank-ordered (position = rank - 1), the invariant
     guaranteed by :func:`~triple_hybrid_rag_tpu.ops.topk.masked_top_k`.
+
+    ``score_blend`` (config ``fusion_score_blend``) interpolates the ordering key
+    between pure rank-RRF (0.0, the reference's only fusion — its fusion.py:52-165)
+    and CombSUM over per-channel min-max-normalized scores (1.0): rank fusion
+    discards score magnitude, so a weak channel's confident-looking rank-1 hit gets
+    full voice even when its score barely clears its list's floor. Measured on the
+    1500-doc docstring corpus (scripts/fusion_lab.py, eval_results/fusion_lab.json):
+    rank-RRF recall@10 0.525 -> CombSUM 0.560 with identical channel inputs. Both
+    terms are max-normalized over the candidate pool before blending so the knob
+    interpolates between comparable [0, 1] scales.
     """
     cand_ids = jnp.concatenate([lex_ids, sem_ids, graph_ids]).astype(jnp.int32)
     kt = cand_ids.shape[0]
 
     rrf = jnp.zeros((kt,), jnp.float32)
+    ssum = jnp.zeros((kt,), jnp.float32)
     raw_scores = []
     chan_bits = jnp.zeros((kt,), jnp.int32)
     for bit, (ch_ids, ch_scores, w) in zip(
@@ -92,6 +104,9 @@ def fuse_rrf(
         found, rank, raw = _rank_lookup(cand_ids, ch_ids, ch_scores)
         # reference formula: w / (k + rank) with rank starting at 1
         rrf = rrf + jnp.where(found, w / (rrf_k + rank.astype(jnp.float32) + 1.0), 0.0)
+        if score_blend > 0.0:
+            norm = minmax_normalize(ch_ids, ch_scores)
+            ssum = ssum + jnp.where(found, w * norm[rank], 0.0)
         raw_scores.append(raw)
         chan_bits = chan_bits | jnp.where(found, bit, 0)
 
@@ -100,6 +115,14 @@ def fuse_rrf(
     tri = jnp.tril(jnp.ones((kt, kt), jnp.bool_), k=-1)
     is_dup = (eq & tri).any(axis=1)
     valid = (cand_ids >= 0) & ~is_dup
+
+    if score_blend > 0.0:
+        s = float(score_blend)
+        r_max = jnp.max(jnp.where(valid, rrf, 0.0))
+        s_max = jnp.max(jnp.where(valid, ssum, 0.0))
+        rrf = (1.0 - s) * rrf / jnp.maximum(r_max, 1e-12) + (
+            s * ssum / jnp.maximum(s_max, 1e-12)
+        )
 
     sort_key = jnp.where(valid, rrf, NEG_INF)
     # the candidate pool can be smaller than top_k (single channel, tiny k, or a
