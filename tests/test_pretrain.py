@@ -247,3 +247,49 @@ def test_encoder_anchor_pool_override():
     v_a = np.asarray(e_default.embed_texts([t]))[0]
     v_b = np.asarray(e_hi.embed_texts([t]))[0]
     assert not np.allclose(v_a, v_b)  # blend actually differs
+
+
+def test_warm_start_resumes_from_checkpoint(tmp_path):
+    """init_params_path fine-tuning: a 1-step run saved to disk then warm-started
+    must begin from the saved params (not a fresh init), and a mismatched
+    EncoderConfig must be rejected."""
+    from triple_hybrid_rag_tpu.models.encoder import EncoderConfig
+    from triple_hybrid_rag_tpu.models.pretrain import train_default_encoder
+
+    small = EncoderConfig(
+        vocab_buckets=256, d_model=16, n_layers=1, n_heads=2, d_mlp=32,
+        max_tokens=32, out_dim=32, token_dim=8, dtype="float32",
+    )
+    first = tmp_path / "first.npz"
+    p1, _ = train_default_encoder(
+        out_path=first, steps=1, batch_size=8, enc_cfg=small, log_every=0,
+        realtext_frac=0.0,
+    )
+    # warm start: step-0 loss must match a fresh run's post-step-1 geometry, which
+    # we verify structurally — the loaded params equal the saved ones bit-for-f16
+    import json as _json
+
+    import numpy as np
+
+    npz = np.load(p1)
+    second = tmp_path / "second.npz"
+    p2, _ = train_default_encoder(
+        out_path=second, steps=1, batch_size=8, enc_cfg=small, log_every=0,
+        realtext_frac=0.0, init_params_path=str(p1), lr=0.0,
+    )
+    npz2 = np.load(p2)
+    # lr=0 => params unchanged through the warm-started step
+    for k in npz.files:
+        if k == "__meta__":
+            continue
+        np.testing.assert_array_equal(npz[k], npz2[k])
+
+    wrong = EncoderConfig(
+        vocab_buckets=256, d_model=16, n_layers=2, n_heads=2, d_mlp=32,
+        max_tokens=32, out_dim=32, token_dim=8, dtype="float32",
+    )
+    with pytest.raises(ValueError, match="EncoderConfig mismatch"):
+        train_default_encoder(
+            out_path=tmp_path / "x.npz", steps=1, batch_size=8, enc_cfg=wrong,
+            log_every=0, realtext_frac=0.0, init_params_path=str(p1),
+        )
