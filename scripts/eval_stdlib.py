@@ -45,6 +45,8 @@ def main() -> int:
                     help="encoder_anchor_pool_w2 override")
     ap.add_argument("--score-blend", type=float, default=None,
                     help="fusion_score_blend override (0=rank-RRF, 1=CombSUM)")
+    ap.add_argument("--lex-gate", type=float, default=None,
+                    help="fusion_lex_conf_gate override (0=off)")
     ap.add_argument("--weights", default=None,
                     help="lexical,semantic,graph RRF weight override, e.g. 1.0,0.5,0.6")
     args = ap.parse_args()
@@ -71,6 +73,8 @@ def main() -> int:
         base = base.replace(encoder_anchor_pool_w2=args.anchor_w2)
     if args.score_blend is not None:
         base = base.replace(fusion_score_blend=args.score_blend)
+    if args.lex_gate is not None:
+        base = base.replace(fusion_lex_conf_gate=args.lex_gate)
     if args.weights is not None:
         lw, sw, gw = (float(x) for x in args.weights.split(","))
         base = base.replace(lexical_weight=lw, semantic_weight=sw, graph_weight=gw)

@@ -150,6 +150,19 @@ def fuse_query(
         key = rrf
     elif mode == "combsum":
         key = sc
+    elif mode == "combmax":
+        lexn = np.asarray([pool[d]["lex"] for d in docs], np.float32)
+        semn = np.asarray([pool[d]["sem"] for d in docs], np.float32)
+        key = np.maximum(wl * lexn, ws * semn)
+    elif mode == "lex-margin-gate":
+        # down-weight the semantic channel when lexical is confident: margin =
+        # relative BM25 gap between its top-2 raw scores
+        lv = ls[li >= 0]
+        margin = float((lv[0] - lv[1]) / max(lv[0], 1e-9)) if len(lv) >= 2 else 0.0
+        g = 1.0 - min(1.0, blend * margin)
+        lexn = np.asarray([pool[d]["lex"] for d in docs], np.float32)
+        semn = np.asarray([pool[d]["sem"] for d in docs], np.float32)
+        key = wl * lexn + g * ws * semn
     elif mode == "blend":  # normalized-rrf + score interpolation
         r = rrf / rrf.max() if rrf.max() > 0 else rrf
         s = sc / sc.max() if sc.max() > 0 else sc
@@ -193,6 +206,9 @@ def cmd_sweep(args) -> int:
         variants[f"blend{b}"] = dict(mode="blend", blend=b)
     for b in (0.5, 1.0, 2.0):
         variants[f"abs-sem{b}"] = dict(mode="abs-sem", blend=b)
+    variants["combmax"] = dict(mode="combmax")
+    for b in (1.0, 2.0, 4.0, 6.0, 8.0, 12.0, 100.0):
+        variants[f"lexgate{b}"] = dict(mode="lex-margin-gate", blend=b)
 
     table = {}
     for name, kw in variants.items():

@@ -347,3 +347,52 @@ def test_score_blend_uses_score_gaps_ranks_cannot_see():
     d2 = float(comb_key[list(comb_ids).index(2)])
     d8 = float(comb_key[list(comb_ids).index(8)])
     assert d2 > d8 + 0.5
+
+
+def test_lex_conf_gate_silences_dense_on_decisive_lexical():
+    """Decisive lexical margin -> semantic weight gated to ~0; flat lexical
+    margin -> semantic keeps full voice (the paraphrase case)."""
+    sem, sem_s = [7, 8], [0.9, 0.2]
+    w = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+    def run(lex_s, gate):
+        return fuse_rrf(
+            pad_ids([1, 2], 8), pad_scores(lex_s, 8),
+            pad_ids(sem, 8), pad_scores(sem_s, 8),
+            pad_ids([], 8), pad_scores([], 8), w,
+            rrf_k=60, top_k=4, score_blend=1.0, lex_conf_gate=4.0 if gate else 0.0,
+        )
+
+    # decisive lexical (margin 0.8 -> g = 1 - min(1, 4*0.8) = 0): doc 7 (sem
+    # leader) must fall below doc 2 (lexical runner-up) once gated
+    decisive = run([10.0, 2.0], gate=True)
+    ids = list(np.asarray(decisive.ids))
+    assert ids.index(2) < ids.index(7)
+    ungated = run([10.0, 2.0], gate=False)
+    ids_u = list(np.asarray(ungated.ids))
+    assert ids_u.index(7) < ids_u.index(2)  # sem leader outranks lex runner-up
+
+    # flat lexical (margin 0.01 -> g ~ 0.96): ordering matches ungated
+    flat_g = run([10.0, 9.9], gate=True)
+    flat_u = run([10.0, 9.9], gate=False)
+    assert list(np.asarray(flat_g.ids)) == list(np.asarray(flat_u.ids))
+
+
+def test_lex_conf_gate_noop_when_lexical_sparse():
+    """Fewer than two lexical hits -> margin undefined -> no gating."""
+    w = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    for lex, lex_s in (([], []), ([1], [5.0])):
+        a = fuse_rrf(
+            pad_ids(lex, 8), pad_scores(lex_s, 8),
+            pad_ids([7, 8], 8), pad_scores([0.9, 0.2], 8),
+            pad_ids([], 8), pad_scores([], 8), w,
+            rrf_k=60, top_k=4, score_blend=1.0, lex_conf_gate=8.0,
+        )
+        b = fuse_rrf(
+            pad_ids(lex, 8), pad_scores(lex_s, 8),
+            pad_ids([7, 8], 8), pad_scores([0.9, 0.2], 8),
+            pad_ids([], 8), pad_scores([], 8), w,
+            rrf_k=60, top_k=4, score_blend=1.0,
+        )
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_allclose(np.asarray(a.rrf), np.asarray(b.rrf), rtol=1e-6)

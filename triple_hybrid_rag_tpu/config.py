@@ -77,6 +77,12 @@ class RAGConfig:
     # encoder), hermetic fused NDCG 0.947-0.962 -> 1.000, stdlib-500 unchanged.
     # Set 0.0 for reference rank-RRF parity.
     fusion_score_blend: float = 1.0
+    # Per-query semantic down-weighting by lexical confidence (ops/fusion.py
+    # fuse_rrf lex_conf_gate): g = 1 - min(1, gate * top-2 BM25 relative margin).
+    # Lab sweep on the 1500-doc corpus: gate 6-12 lifts hybrid recall@10 0.560 ->
+    # 0.591-0.593 (lexical-only 0.594) while paraphrase-style queries (flat or
+    # empty lexical lists) keep dense at full voice. 0.0 = off.
+    fusion_lex_conf_gate: float = 0.0
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
     # NOTE: the threshold applies to rerank scores and is calibrated to the reranker.

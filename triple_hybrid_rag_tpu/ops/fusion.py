@@ -57,7 +57,9 @@ def _rank_lookup(
     return found, rank, raw
 
 
-@functools.partial(jax.jit, static_argnames=("rrf_k", "top_k", "score_blend"))
+@functools.partial(
+    jax.jit, static_argnames=("rrf_k", "top_k", "score_blend", "lex_conf_gate")
+)
 def fuse_rrf(
     lex_ids: jax.Array,
     lex_scores: jax.Array,
@@ -70,6 +72,7 @@ def fuse_rrf(
     rrf_k: int = 60,
     top_k: int = 50,
     score_blend: float = 0.0,
+    lex_conf_gate: float = 0.0,
 ) -> FusedCandidates:
     """Fuse three ranked channels with weighted RRF; dedupe; sort; truncate to top_k.
 
@@ -85,9 +88,31 @@ def fuse_rrf(
     rank-RRF recall@10 0.525 -> CombSUM 0.560 with identical channel inputs. Both
     terms are max-normalized over the candidate pool before blending so the knob
     interpolates between comparable [0, 1] scales.
+
+    ``lex_conf_gate`` (config ``fusion_lex_conf_gate``) scales the SEMANTIC
+    channel's weight per query by how confident the lexical channel is:
+    ``g = 1 - min(1, gate * margin)`` with ``margin`` the relative BM25 gap
+    between lexical's top-2 raw scores. A decisive lexical ranking (large
+    margin) silences the dense channel; a flat or empty lexical ranking
+    (paraphrase queries — zero term overlap) leaves dense at full voice. This is
+    the score-statistics analogue of the reference planner's per-intent channel
+    weights (its query_planner.py emits static weights; the gate adapts them to
+    the observed evidence). 0.0 disables (default off in the reference-parity
+    sense; see config for the measured default).
     """
     cand_ids = jnp.concatenate([lex_ids, sem_ids, graph_ids]).astype(jnp.int32)
     kt = cand_ids.shape[0]
+
+    if lex_conf_gate > 0.0:
+        lv = (lex_ids >= 0).astype(jnp.float32)
+        n_lex = jnp.sum(lv)
+        s0 = lex_scores[0]
+        s1 = jnp.where(lex_ids.shape[0] > 1, lex_scores[1], 0.0)
+        margin = jnp.where(
+            n_lex >= 2.0, (s0 - s1) / jnp.maximum(s0, 1e-9), 0.0
+        )
+        g = 1.0 - jnp.minimum(1.0, lex_conf_gate * jnp.maximum(margin, 0.0))
+        weights = weights * jnp.stack([1.0, g, 1.0]).astype(weights.dtype)
 
     rrf = jnp.zeros((kt,), jnp.float32)
     ssum = jnp.zeros((kt,), jnp.float32)

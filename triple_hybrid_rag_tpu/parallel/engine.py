@@ -523,6 +523,7 @@ class ShardedEngine:
                     lex_i, lex_s, sem_i, sem_s, gr_i, gr_s, w,
                     rrf_k=cfg.rrf_k, top_k=cfg.rerank_top_k,
                     score_blend=cfg.fusion_score_blend,
+                    lex_conf_gate=cfg.fusion_lex_conf_gate,
                 )
                 if cfg.conformal_denoise_enabled:
                     from ..ops.fusion import conformal_denoise_mask

@@ -259,6 +259,7 @@ class Retriever:
             lex_ids, lex_scores, sem_ids, sem_scores, gr_ids, gr_scores,
             weights, rrf_k=cfg.rrf_k, top_k=cfg.rerank_top_k,
             score_blend=cfg.fusion_score_blend,
+            lex_conf_gate=cfg.fusion_lex_conf_gate,
         )
         if cfg.conformal_denoise_enabled:
             keep = conformal_denoise_mask(fused.ids, fused.rrf, jnp.float32(cfg.conformal_alpha))
