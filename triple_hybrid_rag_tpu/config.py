@@ -79,10 +79,12 @@ class RAGConfig:
     fusion_score_blend: float = 1.0
     # Per-query semantic down-weighting by lexical confidence (ops/fusion.py
     # fuse_rrf lex_conf_gate): g = 1 - min(1, gate * top-2 BM25 relative margin).
-    # Lab sweep on the 1500-doc corpus: gate 6-12 lifts hybrid recall@10 0.560 ->
-    # 0.591-0.593 (lexical-only 0.594) while paraphrase-style queries (flat or
-    # empty lexical lists) keep dense at full voice. 0.0 = off.
-    fusion_lex_conf_gate: float = 0.0
+    # Default 6.0 measured through the real funnel: 1500-doc full pipeline
+    # 0.572 -> 0.589, stdlib-500 full 0.815 -> 0.839, hermetic ladder stays
+    # 1.000/1.000, zero-overlap paraphrase funnel stays 16/16 rank-1 (flat or
+    # empty lexical lists leave dense at full voice, so paraphrase queries are
+    # unaffected by construction). 0.0 = off (reference-parity fusion).
+    fusion_lex_conf_gate: float = 6.0
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
     # NOTE: the threshold applies to rerank scores and is calibrated to the reranker.
