@@ -79,12 +79,15 @@ class RAGConfig:
     fusion_score_blend: float = 1.0
     # Per-query semantic down-weighting by lexical confidence (ops/fusion.py
     # fuse_rrf lex_conf_gate): g = 1 - min(1, gate * top-2 BM25 relative margin).
-    # Default 6.0 measured through the real funnel: 1500-doc full pipeline
-    # 0.572 -> 0.589, stdlib-500 full 0.815 -> 0.839, hermetic ladder stays
-    # 1.000/1.000, zero-overlap paraphrase funnel stays 16/16 rank-1 (flat or
-    # empty lexical lists leave dense at full voice, so paraphrase queries are
-    # unaffected by construction). 0.0 = off (reference-parity fusion).
-    fusion_lex_conf_gate: float = 6.0
+    # Default 12.0 measured through the real funnel (gate 6 / 12): 1500-doc full
+    # pipeline 0.572 -> 0.589 / 0.594, stdlib-500 full 0.815 -> 0.839 / 0.848;
+    # at both strengths the hermetic ladder stays 1.000/1.000 and the
+    # zero-overlap paraphrase funnel stays 16/16 rank-1 (flat or empty lexical
+    # lists leave dense at full voice, so paraphrase queries are unaffected by
+    # construction). Stronger gates keep helping on lexical-favoring corpora but
+    # approach "dense only as tiebreak" — 12 silences dense at >=8.3% relative
+    # BM25 margin. 0.0 = off (reference-parity fusion).
+    fusion_lex_conf_gate: float = 12.0
 
     # ---- safety / denoising (reference retrieval.py:461-495) ----
     # NOTE: the threshold applies to rerank scores and is calibrated to the reranker.
