@@ -149,3 +149,43 @@ def test_encoder_params_save_load(tmp_path):
     _, bad = init_encoder(bad_cfg, seed=0)
     with _pytest.raises((ValueError, KeyError)):
         load_encoder_params(bad, path)
+
+
+def test_encode_queries_device_parity():
+    """Device single-dispatch query encoding == numpy prep path (engine wire f16).
+
+    prepare_queries feeds encode_queries_device outputs straight into the search
+    program; this pins them to the embed_texts/token_embeddings reference within
+    f16 rounding."""
+    from triple_hybrid_rag_tpu.index.dense_index import truncate_matryoshka
+
+    emb = EncoderEmbedder(TINY, RAGConfig())
+    texts = ["payment invoice overdue", "the contract was terminated early", ""]
+    out_dim, t_q, tdim = 24, 8, 8
+    pooled_d, tok_d, mask = emb.encode_queries_device(
+        texts, out_dim=out_dim, max_tokens=t_q, token_dim=tdim
+    )
+    assert pooled_d.dtype == jnp.float16 and tok_d.dtype == jnp.float16
+    assert pooled_d.shape == (3, out_dim) and tok_d.shape == (3, t_q, tdim)
+
+    ref_vec = truncate_matryoshka(emb.embed_texts(texts), out_dim)
+    ref_tok = emb.token_embeddings(texts, max_tokens=t_q, dim=tdim)
+    np.testing.assert_allclose(
+        np.asarray(pooled_d, np.float32), ref_vec, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(tok_d, np.float32), ref_tok, atol=2e-3)
+    np.testing.assert_array_equal(mask, np.any(ref_tok != 0, axis=-1))
+
+
+def test_encode_queries_device_no_truncation_case():
+    """out_dim == full dim / token_dim == full token dim: no-op truncation path."""
+    emb = EncoderEmbedder(TINY, RAGConfig())
+    texts = ["password reset security portal"]
+    pooled_d, tok_d, mask = emb.encode_queries_device(
+        texts, out_dim=TINY.out_dim, max_tokens=TINY.max_tokens, token_dim=TINY.token_dim
+    )
+    ref_vec = emb.embed_texts(texts)
+    ref_tok = emb.token_embeddings(texts)
+    np.testing.assert_allclose(np.asarray(pooled_d, np.float32), ref_vec, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tok_d, np.float32), ref_tok, atol=2e-3)
+    assert mask.shape == (1, TINY.max_tokens)

@@ -269,3 +269,38 @@ def test_fused_topk_engine_scoped_parity(cfg):
         a = rags[False].query_batch(["payment invoices settle"], collections=[coll])[0]
         b = rags[True].query_batch(["payment invoices settle"], collections=[coll])[0]
         assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results], coll
+
+
+def test_device_query_encode_matches_numpy_prep(cfg):
+    """ShardedEngine with the on-mesh encoder: the device single-dispatch query
+    encoding path (device_query_encode=True, the default) must return the same
+    results as the numpy prep path (embed_texts + token_embeddings fetched to
+    host). Guards the serving-latency fast path against drift."""
+    from triple_hybrid_rag_tpu.models.encoder import EncoderConfig, EncoderEmbedder
+
+    tiny = EncoderConfig(
+        vocab_buckets=2048, d_model=32, n_layers=1, n_heads=4, d_mlp=64,
+        max_tokens=16, out_dim=64, token_dim=16, dtype="float32",
+    )
+    c = cfg.replace(embedder_backend="encoder")
+    corpus, _ = build_fixture(c, with_graph=False)
+    emb = EncoderEmbedder(tiny, c)
+    ret = Retriever(corpus, c, embedder=emb)
+    eng = ShardedEngine(ret, corpus_mesh())
+    assert eng.device_query_encode is True
+    queries = [
+        "payment invoice billing settlement",
+        "fox wildlife forest habitat",
+        "completely unrelated query text",
+        "contract termination clause",
+    ]
+    dev = eng.retrieve_batch(queries)
+
+    eng.device_query_encode = False
+    host = eng.retrieve_batch(queries)
+
+    for rd, rh in zip(dev, host):
+        assert rd.refused == rh.refused
+        assert [x.chunk_id for x in rd.results] == [x.chunk_id for x in rh.results]
+        for a, b in zip(rd.results, rh.results):
+            assert abs(a.final_score - b.final_score) < 2e-3

@@ -164,6 +164,21 @@ class RAGConfig:
     graph_max_seeds: int = 8  # seed-entity slots per query on the wire (the engine
     # ships sparse seed ROW IDS, i32[B, 8] = 2 KB/batch, instead of a dense
     # bool[B, E_pad] mask — host->device payload stays O(1) in entity count)
+    # Graph chunk-scoring backend. "dense" scans chunk_entities[N, M] per query
+    # (blocked bucket-maxima, O(N)); "sparse" inverts it into entity->chunk
+    # mention postings and scores only chunks that mention an activated entity
+    # (O(matched mentions), the same sort-based machinery as the lexical
+    # channel). "auto" picks sparse exactly when it is provably EXACT: the
+    # worst-case activated-entity count seeds * sum(deg^i, i<=hops) fits
+    # graph_active_slots and no entity's mention list was truncated; ids then
+    # match the dense path bit-for-bit, ties included (measured: the dense scan
+    # was ~half of full-pipeline device time at 1M chunks).
+    graph_backend: str = "auto"  # "auto" | "dense" | "sparse"
+    graph_mention_cap: int = 4096  # per-entity mention-postings cap at placement
+    # (entities mentioned in more chunks keep the lowest chunk rows; the
+    # reference's Cypher keyword search LIMITs chunk lists the same way —
+    # puppygraph.py:340-399). auto only picks sparse when nothing was capped.
+    graph_active_slots: int = 1024  # activated-entity slots per query (sparse)
 
     # ---- rerank / late interaction (SURVEY §5.7) ----
     rerank_backend: str = "maxsim"  # "maxsim" | "dot" | "none"

@@ -295,6 +295,7 @@ class EncoderEmbedder(_ImageHashMixin):
         self._encode = jax.jit(
             lambda p, ids, mask: self.model.apply(p, ids, mask)
         )
+        self._query_enc_cache: dict = {}
 
     @property
     def maxsim_calibration(self) -> float:
@@ -351,6 +352,83 @@ class EncoderEmbedder(_ImageHashMixin):
             norms = np.linalg.norm(out, axis=-1, keepdims=True)
             out = np.where(norms > 1e-9, out / np.maximum(norms, 1e-9), 0.0)
         return out
+
+    def _query_enc_fn(self, out_dim: int, max_tokens: int, token_dim: int):
+        """Jitted single-dispatch query encoding: forward + anchor blend +
+        Matryoshka truncation, emitting the engine's f16 wire dtypes. Device
+        mirror of ``embed_texts``/``token_embeddings`` (parity-tested)."""
+        key = (out_dim, max_tokens, token_dim)
+        fn = self._query_enc_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.enc_cfg
+        a_t = float(np.sqrt(cfg.anchor_token_w2))
+        b_t = float(np.sqrt(1.0 - cfg.anchor_token_w2))
+        a_p = float(np.sqrt(cfg.anchor_pool_w2))
+        b_p = float(np.sqrt(1.0 - cfg.anchor_pool_w2))
+        blend = cfg.anchor_token_w2 > 0 or cfg.anchor_pool_w2 > 0
+        model = self.model
+
+        def run(params, ids, mask, apool, atok):
+            pooled, tok = model.apply(params, ids, mask)
+            if blend:  # exact jnp mirror of blend_anchors_np
+                has_tok = jnp.any(atok != 0, axis=-1, keepdims=True)
+                t_mix = a_t * atok + b_t * tok
+                t_norm = jnp.maximum(
+                    jnp.linalg.norm(t_mix, axis=-1, keepdims=True), 1e-12
+                )
+                tok = jnp.where(has_tok, t_mix / t_norm, tok)
+                has_pool = jnp.any(apool != 0, axis=-1, keepdims=True)
+                p_mix = a_p * apool + b_p * pooled
+                p_norm = jnp.maximum(
+                    jnp.linalg.norm(p_mix, axis=-1, keepdims=True), 1e-12
+                )
+                pooled = jnp.where(has_pool, p_mix / p_norm, pooled)
+            if out_dim < pooled.shape[-1]:  # truncate_matryoshka semantics
+                pooled = pooled[:, :out_dim]
+                pooled = pooled / jnp.maximum(
+                    jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+                )
+            tok = tok[:, :max_tokens]
+            if token_dim < tok.shape[-1]:  # token_embeddings truncation + renorm
+                tok = tok[..., :token_dim]
+                norms = jnp.linalg.norm(tok, axis=-1, keepdims=True)
+                tok = jnp.where(norms > 1e-9, tok / jnp.maximum(norms, 1e-9), 0.0)
+            return pooled.astype(jnp.float16), tok.astype(jnp.float16)
+
+        fn = jax.jit(run)
+        self._query_enc_cache[key] = fn
+        return fn
+
+    def encode_queries_device(
+        self, texts: Sequence[str], *, out_dim: int, max_tokens: int, token_dim: int
+    ):
+        """ONE async device dispatch encoding a query batch for the serving engine.
+
+        Returns ``(pooled f16[B, out_dim], tok f16[B, T, token_dim], mask bool[B, T])``
+        where pooled/tok are **device** arrays (not fetched — the caller feeds them
+        straight into the search program so the host never blocks on the encoder)
+        and mask is the host-side token-occupancy mask (identical to
+        ``np.any(tok != 0, -1)`` because padding positions stay exactly zero).
+
+        Replaces the prepare_queries double round trip (``embed_texts`` +
+        ``token_embeddings`` each dispatched AND fetched the same forward): over a
+        tunneled dev chip each fetch costs the ~25 ms round-trip floor, which made
+        single-query p50 ~4x the dispatch floor. The reference never had this
+        problem only because its embedder was a remote HTTP call with one round
+        trip (rag2/embedder.py:226); this is the TPU-native equivalent."""
+        t = min(max_tokens, self.enc_cfg.max_tokens)
+        ids, mask = self.hasher.encode(texts)
+        apool, atok = anchor_arrays(texts, self.enc_cfg, self.hasher.analyzer)
+        fn = self._query_enc_fn(out_dim, t, token_dim)
+        pooled, tok = fn(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            jnp.asarray(apool),
+            jnp.asarray(atok),
+        )
+        return pooled, tok, mask[:, :t]
 
 
 def save_encoder_params(params, path) -> None:

@@ -224,8 +224,16 @@ def score_postings_topk_pre(
 def _sparse_topk_from_windows(
     docs, slots, contribs, q_slots: int, n_pad: int, top_k: int,
     row_mask: Optional[jax.Array] = None,
+    combine: str = "sum",
+    run_bound: Optional[int] = None,
 ):
-    """Shared tail: 2-key sort, segmented doubling reduction, top-k over run starts."""
+    """Shared tail: 2-key sort, segmented doubling reduction, top-k over run starts.
+
+    ``combine`` selects the per-document reduction over its matched windows:
+    "sum" (BM25 term contributions) or "max" (graph best-entity semantics —
+    ops/graph.graph_sparse_topk). ``run_bound`` caps the doubling depth when the
+    caller knows runs are shorter than ``q_slots`` (e.g. a chunk can match at
+    most M mention slots however many entities are activated)."""
     flat_docs = docs.reshape(-1)
     flat_slots = slots.reshape(-1)
     flat_scores = contribs.reshape(-1)
@@ -237,16 +245,23 @@ def _sparse_topk_from_windows(
         (flat_docs, flat_slots, flat_scores), dimension=-1, num_keys=2
     )
 
-    # segmented suffix-sum by doubling: after step k, acc[i] = sum of run elements in
-    # [i, i + 2^k); runs never exceed q_slots elements
+    # segmented suffix-reduction by doubling: after step k, acc[i] = reduction of run
+    # elements in [i, i + 2^k); runs never exceed run_bound (default q_slots) elements
     acc = sorted_scores
     step = 1
-    while step < q_slots:
+    bound = q_slots if run_bound is None else min(run_bound, q_slots)
+    while step < bound:
         shifted_acc = jnp.concatenate([acc[step:], jnp.zeros((step,), acc.dtype)])
         shifted_doc = jnp.concatenate(
             [sorted_docs[step:], jnp.full((step,), -9, jnp.int32)]
         )
-        acc = acc + jnp.where(shifted_doc == sorted_docs, shifted_acc, 0.0)
+        if combine == "max":
+            # max is idempotent: overlapping [i, i+2^k) windows are harmless
+            acc = jnp.maximum(
+                acc, jnp.where(shifted_doc == sorted_docs, shifted_acc, -jnp.inf)
+            )
+        else:
+            acc = acc + jnp.where(shifted_doc == sorted_docs, shifted_acc, 0.0)
         step <<= 1
 
     prev_docs = jnp.concatenate([jnp.full((1,), -9, jnp.int32), sorted_docs[:-1]])

@@ -133,6 +133,12 @@ class ShardedEngine:
         self.retriever = retriever
         self.config: RAGConfig = retriever.config
         self.corpus = retriever.corpus
+        # Encode query batches ON DEVICE in one async dispatch when the embedder
+        # supports it (EncoderEmbedder.encode_queries_device): the host never
+        # fetches the embeddings, it chains encoder -> search dispatches and
+        # blocks only on the final ids. False forces the numpy prep path
+        # (embed_texts + token_embeddings), which fetches the forward twice.
+        self.device_query_encode = True
         self.mesh = mesh or corpus_mesh()
         s = self.mesh.shape["shard"]
         self.n_shards = s
@@ -640,36 +646,74 @@ class ShardedEngine:
                     qs_terms[i], qs_slots[i] = st, ss
                     ql_terms[i], ql_slots[i] = lt, ls
 
-        q_vec = np.zeros((b, self.dim), np.float32)
-        if r.dense_index is not None:
-            from ..index.dense_index import truncate_matryoshka
-
-            texts = [p.semantic_query_text or p.original_query for p in plans]
-            # ONE batched embed call for the whole batch: with an HTTP embedder this is
-            # ceil(b/20) requests instead of b (reference batch-of-20, embedder.py:103);
-            # with host embedders it amortizes per-call overhead. Fail-soft: a failed
-            # batch yields zero vectors -> those queries answer via lexical+graph.
+        sem_texts = [p.semantic_query_text or p.original_query for p in plans]
+        q_vec = None  # f16 — numpy (wire) or jax device array (already resident)
+        q_tokens = None
+        q_tok_mask = None
+        if (
+            self.device_query_encode
+            and r.dense_index is not None
+            and hasattr(r.embedder, "encode_queries_device")
+        ):
+            # Single-dispatch on-device query encoding: pooled/token embeddings
+            # stay on device and feed the search program directly — the host
+            # blocks only on the final results, not on the encoder forward.
             try:
-                raw = np.asarray(r.embedder.embed_texts(texts), np.float32)
-            except Exception:
-                raw = np.zeros((b, r.embedder.dim), np.float32)
-            q_vec = truncate_matryoshka(raw, cfg.embedding_dim)
+                from ..retrieval import maxsim_query_weights
 
-        if self.maxsim_tokens is not None:
+                t_q = cfg.maxsim_query_tokens if self.maxsim_tokens is not None else 1
+                pooled, tok, tmask = r.embedder.encode_queries_device(
+                    sem_texts,
+                    out_dim=cfg.embedding_dim,
+                    max_tokens=t_q,
+                    token_dim=cfg.maxsim_dim,
+                )
+                q_vec = pooled
+                if self.maxsim_tokens is not None:
+                    q_tokens = tok
+                    q_tok_mask = tmask.astype(np.float16)
+                    t_real = q_tok_mask.shape[1]
+                    for i, t in enumerate(sem_texts):
+                        q_tok_mask[i] *= maxsim_query_weights(
+                            t, r.analyzer, t_real
+                        ).astype(np.float16)
+            except Exception:
+                q_vec = None
+                q_tokens = None
+                q_tok_mask = None
+
+        if q_vec is None:
+            q_vec_f32 = np.zeros((b, self.dim), np.float32)
+            if r.dense_index is not None:
+                from ..index.dense_index import truncate_matryoshka
+
+                # ONE batched embed call for the whole batch: with an HTTP embedder this
+                # is ceil(b/20) requests instead of b (reference batch-of-20,
+                # embedder.py:103); with host embedders it amortizes per-call overhead.
+                # Fail-soft: a failed batch yields zero vectors -> those queries answer
+                # via lexical+graph.
+                try:
+                    raw = np.asarray(r.embedder.embed_texts(sem_texts), np.float32)
+                except Exception:
+                    raw = np.zeros((b, r.embedder.dim), np.float32)
+                q_vec_f32 = truncate_matryoshka(raw, cfg.embedding_dim)
+            q_vec = q_vec_f32.astype(np.float16)
+
+        if q_tokens is None and self.maxsim_tokens is not None:
             from ..retrieval import maxsim_query_weights
 
-            texts = [p.semantic_query_text or p.original_query for p in plans]
-            q_tokens = r.embedder.token_embeddings(
-                texts, max_tokens=cfg.maxsim_query_tokens, dim=cfg.maxsim_dim
+            q_tokens_f32 = r.embedder.token_embeddings(
+                sem_texts, max_tokens=cfg.maxsim_query_tokens, dim=cfg.maxsim_dim
             )
-            q_tok_mask = np.any(q_tokens != 0, axis=-1).astype(np.float16)
-            for i, t in enumerate(texts):
+            q_tok_mask = np.any(q_tokens_f32 != 0, axis=-1).astype(np.float16)
+            for i, t in enumerate(sem_texts):
                 # soft function-word downweighting — same helper as the staged path
                 q_tok_mask[i] *= maxsim_query_weights(
                     t, r.analyzer, cfg.maxsim_query_tokens
                 ).astype(np.float16)
-        else:
-            q_tokens = np.zeros((b, 1, 1), np.float32)
+            q_tokens = q_tokens_f32.astype(np.float16)
+        elif q_tokens is None:
+            q_tokens = np.zeros((b, 1, 1), np.float16)
             q_tok_mask = np.zeros((b, 1), np.float16)
 
         seed_rows = np.full((b, cfg.graph_max_seeds), -1, np.int32)
@@ -703,14 +747,16 @@ class ShardedEngine:
 
         # ONE device_put of the whole arg tuple (single transfer RPC, not 14) with the
         # f16 wire format: halves the dominant host->device query payload
-        # (q_vec [B, D] + q_tokens [B, T, d]); the program restores f32 on device
+        # (q_vec [B, D] + q_tokens [B, T, d]); the program restores f32 on device.
+        # q_vec/q_tokens may already be device arrays (device_query_encode) — for
+        # those device_put is a no-op passthrough, nothing re-crosses the wire.
         args = jax.device_put(
             (
                 q_terms,
                 qs_terms, qs_slots,
                 ql_terms, ql_slots,
-                q_vec.astype(np.float16),
-                q_tokens.astype(np.float16), q_tok_mask,
+                q_vec,
+                q_tokens, q_tok_mask,
                 seed_rows, weights,
                 np.float32(cfg.safety_threshold if cfg.safety_enabled else -1e9),
                 np.float32(cfg.denoise_alpha if cfg.denoise_enabled else 0.0),
@@ -758,16 +804,21 @@ class ShardedEngine:
             padded, colls
         )
         queries, plans = queries[:n_real], plans[:n_real]
-        jax.block_until_ready(ids)
+        # ONE device_get of every output array (a single device->host transfer
+        # RPC instead of ~10 per query: over the tunneled dev chip each
+        # np.asarray(x[i]) fetch pays the ~25 ms round-trip floor)
+        ids, scores, refused, max_score, fused, rerank = jax.device_get(
+            (ids, scores, refused, max_score, fused, rerank)
+        )
         dispatch_ms = (time.perf_counter() - t0) * 1e3
 
         out: List[RetrievalResult] = []
         ids_np = np.asarray(ids)
         for i, (query, plan) in enumerate(zip(queries, plans)):
             t1 = time.perf_counter()
-            fused_i = FusedCandidates(*(np.asarray(x[i]) for x in fused))
+            fused_i = FusedCandidates(*(x[i] for x in fused))
             results = decode_results(
-                self.corpus, fused_i, np.asarray(rerank[i]), ids_np[i], np.asarray(scores[i])
+                self.corpus, fused_i, rerank[i], ids_np[i], scores[i]
             )
             if top_k is not None:
                 results = results[:top_k]
