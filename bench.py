@@ -237,6 +237,7 @@ def build_synthetic(cfg: RAGConfig, embedder: BowHashEmbedder):
     gx = GraphIndex(
         nbr=jnp.asarray(nbr),
         chunk_entities=jnp.asarray(chunk_entities),
+        host_chunk_entities=chunk_entities,
         store=store, row_of=row_of, entity_rows=entity_rows,
         n_entities=N_ENTITIES, e_pad=e_pad, config=cfg, host_adj={},
     )

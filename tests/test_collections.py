@@ -104,3 +104,31 @@ def test_collection_registry(rag):
     ids = corpus.collection_ids()
     a_rows = [r for c, r in zip(corpus.children, rows) if "Tenant A" in c.text]
     assert all(r == ids["tenant_a"] for r in a_rows)
+
+
+def test_scoped_graph_sparse_matches_dense(small_config):
+    """Collection row-masks must filter the SPARSE graph backend exactly like the
+    dense one (the sparse path applies the mask at segmented-run starts, the
+    same place the lexical channel does)."""
+    cfg = small_config.replace(
+        embedding_dtype="float32", safety_threshold=0.0, denoise_enabled=False,
+    )
+    outs = {}
+    for backend in ("sparse", "dense"):
+        r = RAG(config=cfg.replace(graph_backend=backend))
+        r.ingest_text("Acme Corp pays Beta LLC invoices monthly at Tenant A.",
+                      name="a1.md", collection="tenant_a")
+        r.ingest_text("Acme Corp disputes Beta LLC contracts at Tenant B.",
+                      name="b1.md", collection="tenant_b")
+        r.ingest_text("Gamma Inc hires Acme Corp for security audits at Tenant A.",
+                      name="a2.md", collection="tenant_a")
+        res = r.query_batch(
+            ["How is Acme Corp related to Beta LLC?"] * 2,
+            collections=["tenant_a", "tenant_b"],
+        )
+        outs[backend] = [
+            ([x.chunk_id for x in rr.results], rr.refused) for rr in res
+        ]
+    assert outs["sparse"] == outs["dense"]
+    # each scope only surfaces its own tenant
+    # (ids differ across RAG instances' random hashes? no — content-hash stable)

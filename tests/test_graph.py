@@ -379,3 +379,84 @@ def test_graph_topk_batch_no_masks(rng):
                                          bucket=8, block=256)
     np.testing.assert_array_equal(np.asarray(ref_ids), np.asarray(got_ids))
     np.testing.assert_array_equal(np.asarray(ref_vals), np.asarray(got_vals))
+
+
+def test_graph_sparse_topk_matches_dense(rng):
+    """Sparse mention-postings top-k == dense chunk_entities scan (ids, scores,
+    ties) when every nonzero-score entity is in the active slots — the
+    exactness contract the engine's auto policy relies on. Scores quantized to
+    1/(1+d) levels force heavy ties, exercising the (score desc, id asc)
+    tie-break parity."""
+    import jax
+
+    from triple_hybrid_rag_tpu.ops.graph import graph_sparse_topk, graph_topk_batch
+
+    N, M, E, B, K = 600, 3, 30, 5, 12
+    ce = rng.integers(-1, E, size=(N, M)).astype(np.int32)
+    # quantized khop-style scores: 0 / 1/3 / 1/2 / 1 per (query, entity)
+    levels = np.array([0.0, 1 / 3, 0.5, 1.0], np.float32)
+    ent = levels[rng.integers(0, 4, size=(B, E))]
+    ent[3] = 0.0  # empty frontier query
+
+    ref_ids, ref_vals = graph_topk_batch(
+        jnp.asarray(ce), jnp.asarray(ent), K, bucket=8, block=256
+    )
+
+    # host inversion: entity -> chunk mention CSR (doc-ascending)
+    lists = [[] for _ in range(E)]
+    for row in range(N):
+        for s in range(M):
+            e = ce[row, s]
+            if e >= 0:
+                lists[e].append(row)
+    l_max_g = max(max((len(x) for x in lists), default=1), 1)
+    lens = np.array([len(x) for x in lists], np.int32)
+    offs = np.zeros(E + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    docs = np.full(int(offs[-1]) + l_max_g, -1, np.int32)
+    for e, x in enumerate(lists):
+        docs[offs[e] : offs[e] + len(x)] = x
+
+    A = E  # every entity fits -> exact
+    def one(scores_q):
+        order = np.argsort(-scores_q, kind="stable")
+        act_e = order[:A].astype(np.int32)
+        act_s = scores_q[act_e].astype(np.float32)
+        act_e = np.where(act_s > 0, act_e, -1)
+        return graph_sparse_topk(
+            jnp.asarray(offs.astype(np.int32)), jnp.asarray(lens),
+            jnp.asarray(docs), jnp.asarray(act_e), jnp.asarray(act_s),
+            l_max_g=l_max_g, n_pad=N, top_k=K, run_bound=M,
+        )
+
+    for b in range(B):
+        got_ids, got_vals = one(ent[b])
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids)[b])
+        np.testing.assert_allclose(
+            np.asarray(got_vals), np.asarray(ref_vals)[b], rtol=1e-6
+        )
+
+
+def test_graph_topk_batch_ranks_parity(rng):
+    """u8 rank-table bucket scan == f32 score scan (exact member rescore both)."""
+    from triple_hybrid_rag_tpu.ops.graph import graph_topk_batch
+
+    N, M, E, B, K = 500, 3, 25, 4, 10
+    ce = rng.integers(-1, E, size=(N, M)).astype(np.int32)
+    dist = rng.integers(0, 4, size=(B, E)).astype(np.float32)  # 3 = unreachable
+    reach = dist <= 2
+    ent = np.where(reach, 1.0 / (1.0 + dist), 0.0).astype(np.float32)
+    ranks = np.where(reach, 3.0 - dist, 0.0).astype(np.uint8)
+    query_on = np.array([True, True, False, True])
+
+    ref = graph_topk_batch(
+        jnp.asarray(ce), jnp.asarray(ent), K,
+        query_on=jnp.asarray(query_on), bucket=8, block=256,
+    )
+    got = graph_topk_batch(
+        jnp.asarray(ce), jnp.asarray(ent), K,
+        query_on=jnp.asarray(query_on), bucket=8, block=256,
+        entity_ranks=jnp.asarray(ranks),
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))

@@ -304,3 +304,45 @@ def test_device_query_encode_matches_numpy_prep(cfg):
         assert [x.chunk_id for x in rd.results] == [x.chunk_id for x in rh.results]
         for a, b in zip(rd.results, rh.results):
             assert abs(a.final_score - b.final_score) < 2e-3
+
+
+def test_graph_backend_sparse_matches_dense(cfg):
+    """Sparse (entity->chunk mention postings) and dense (chunk_entities scan)
+    graph backends must return identical results through the whole funnel —
+    the auto policy only selects sparse when it is provably exact."""
+    corpus, gidx = build_fixture(cfg)
+    queries = [
+        "How is Acme Corp related to document 3? payment invoice",
+        "fox wildlife forest habitat",
+        "contract termination clause notice",
+        "password reset security portal",
+    ]
+    engines = {}
+    for backend in ("sparse", "dense"):
+        c = cfg.replace(graph_backend=backend)
+        ret = Retriever(corpus, c, graph_index=gidx)
+        eng = ShardedEngine(ret, corpus_mesh())
+        assert eng.graph_mode == backend
+        engines[backend] = eng.retrieve_batch(queries)
+    for rs, rd in zip(engines["sparse"], engines["dense"]):
+        assert rs.refused == rd.refused
+        assert [x.chunk_id for x in rs.results] == [x.chunk_id for x in rd.results]
+        for a, b in zip(rs.results, rd.results):
+            assert abs(a.final_score - b.final_score) < 1e-5
+
+
+def test_graph_backend_auto_policy(cfg):
+    """auto = sparse exactly when worst-case activation fits the slot budget
+    and no mention list was truncated; otherwise dense."""
+    corpus, gidx = build_fixture(cfg)
+    # tiny fixture: bound = min(seeds * sum(deg^i), e_pad) = e_pad -> sparse
+    eng = ShardedEngine(Retriever(corpus, cfg, graph_index=gidx), corpus_mesh())
+    assert eng.graph_mode == "sparse"
+    # shrink the activation budget below the bound -> dense fallback
+    c2 = cfg.replace(graph_active_slots=1)
+    eng2 = ShardedEngine(Retriever(corpus, c2, graph_index=gidx), corpus_mesh())
+    assert eng2.graph_mode == "dense"
+    # mention cap that truncates -> dense fallback under auto
+    c3 = cfg.replace(graph_mention_cap=1)
+    eng3 = ShardedEngine(Retriever(corpus, c3, graph_index=gidx), corpus_mesh())
+    assert eng3.graph_mode == "dense"

@@ -281,7 +281,13 @@ def evaluate_baseline_configs(
 #: in-image; their prose was written by thousands of external contributors (NumPy/
 #: SciPy/pandas/JAX/PyTorch docs), so neither this repo's topics nor its encoder's
 #: training lexicon could have been tuned to them.
-_PACKAGE_SOURCES = ("numpy", "scipy", "pandas", "jax", "torch", "einops", "chex")
+_PACKAGE_SOURCES = (
+    "numpy", "scipy", "pandas", "jax", "torch", "einops", "chex",
+    # second wave (round-2 late): doubles the author pool and adds ML-docs prose
+    # genres (configuration guides, API reference, math notation) the first
+    # seven underrepresent
+    "flax", "optax", "transformers", "accelerate", "haiku",
+)
 
 
 def _module_candidates(source: str) -> List[str]:

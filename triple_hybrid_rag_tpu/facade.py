@@ -159,7 +159,13 @@ class RAG:
     # ------------------------------------------------------------------
 
     def stats(self) -> dict:
-        return {
+        out = {
             **self.ingestor.corpus.stats(),
             **{f"graph_{k}": v for k, v in self.ingestor.entity_store.stats().items()},
         }
+        if self._engine is not None:  # compiled serving-engine backend choices
+            out["engine_lexical_mode"] = self._engine.lexical_mode
+            out["engine_graph_mode"] = self._engine.graph_mode
+            out["engine_n_shards"] = self._engine.n_shards
+            out["engine_n_pad"] = self._engine.n_pad
+        return out

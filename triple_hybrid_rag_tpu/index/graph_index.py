@@ -50,6 +50,10 @@ class GraphIndex:
     config: RAGConfig
     # host adjacency for path reconstruction (tiny)
     host_adj: Dict[int, List[int]] = None  # type: ignore[assignment]
+    # host copy of chunk_entities: lets the sharded engine invert it into
+    # entity->chunk mention postings (the sparse graph backend) without a
+    # device readback — same role as BM25Index.host_csr
+    host_chunk_entities: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # lookup / traversal API (PuppyGraphClient parity)
@@ -311,4 +315,5 @@ def build_graph_index(
         e_pad=e_pad,
         config=config,
         host_adj=host_adj,
+        host_chunk_entities=chunk_entities,
     )

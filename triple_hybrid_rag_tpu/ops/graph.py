@@ -102,6 +102,7 @@ def graph_topk_batch(
     query_on: jax.Array | None = None,  # bool[B] graph channel active per query
     bucket: int = 16,
     block: int = 1 << 19,
+    entity_ranks: jax.Array | None = None,  # u8[B, E] monotone score ranks (0 = off)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched graph top-k WITHOUT materializing per-chunk scores.
 
@@ -115,15 +116,31 @@ def graph_topk_batch(
     >= the k-th value; the final (score desc, id asc) sort reproduces
     ``masked_top_k``'s tie-break. Scores <= 0 never surface (graph floor).
 
+    ``entity_ranks`` (optional) supplies a u8 [B, E] table whose ordering is
+    MONOTONE in ``entity_scores`` (e.g. hops+1-distance; 0 = inactive). The
+    bucket-maxima scan then gathers 1-byte lanes instead of f32 — 4x less HBM
+    gather traffic on the stage that dominates full-pipeline device time at 1M
+    chunks — while the member rescore keeps exact f32 scores. Selection is
+    unchanged: rank order == score order, and ties resolve by bucket/chunk id
+    in both encodings.
+
     Returns (ids i32[B, k], scores f32[B, k]) with -1 / -inf invalid slots.
     """
     from .topk import NEG_INF
 
     n, m = chunk_entities.shape
     b, e_pad = entity_scores.shape
-    ent_t = entity_scores.T  # [E, B]: B on lanes -> contiguous row gathers
-    if query_on is not None:
-        ent_t = jnp.where(query_on[None, :], ent_t, 0.0)
+    use_ranks = entity_ranks is not None
+    if use_ranks:
+        ent_t = entity_ranks.T  # [E, B] u8: B on lanes -> contiguous row gathers
+        if query_on is not None:
+            ent_t = jnp.where(query_on[None, :], ent_t, 0)
+        zero = jnp.uint8(0)
+    else:
+        ent_t = entity_scores.T  # [E, B]
+        if query_on is not None:
+            ent_t = jnp.where(query_on[None, :], ent_t, 0.0)
+        zero = jnp.float32(0.0)
 
     n_pad = ((n + block - 1) // block) * block
     ce = chunk_entities
@@ -139,11 +156,12 @@ def graph_topk_batch(
         ce_blk, va_blk = args  # i32[block, M], bool[B, block] | dummy
         ok = ce_blk >= 0
         safe = jnp.clip(ce_blk, 0, e_pad - 1)
-        s = jnp.where(ok[:, :, None], ent_t[safe], 0.0)  # [block, M, B]
+        s = jnp.where(ok[:, :, None], ent_t[safe], zero)  # [block, M, B]
         s = jnp.max(s, axis=1)  # [block, B]
-        s = jnp.where(s > 0.0, s, NEG_INF)  # graph floor: 0-score rows invalid
+        if not use_ranks:
+            s = jnp.where(s > 0.0, s, NEG_INF)  # graph floor: 0-score rows invalid
         if valid is not None:
-            s = jnp.where(va_blk.T, s, NEG_INF)
+            s = jnp.where(va_blk.T, s, zero if use_ranks else NEG_INF)
         return jnp.max(s.reshape(block // bucket, bucket, b), axis=1).T  # [B, blk/bu]
 
     ce_blocks = ce.reshape(n_blocks, block, m)
@@ -154,6 +172,8 @@ def graph_topk_batch(
     )
     bmax = jax.lax.map(block_maxima, (ce_blocks, va_blocks))  # [nblk, B, blk/bu]
     bmax = bmax.transpose(1, 0, 2).reshape(b, n_pad // bucket)
+    if use_ranks:
+        bmax = bmax.astype(jnp.int32)  # rank 0 = empty bucket (sorts last)
 
     kk = min(k, n_pad // bucket)
     _, bucket_ids = jax.lax.top_k(bmax, kk)  # ties -> lowest bucket id

@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import RAGConfig
 from ..ops.bm25 import score_postings_topk_pre, score_postings_topk_tiered, score_termtable
 from ..ops.fusion import FusedCandidates, apply_safety_denoise, fuse_rrf, minmax_normalize
-from ..ops.graph import graph_topk_batch, khop_entity_scores
+from ..ops.graph import graph_sparse_topk, graph_topk_batch, khop_distances
 from ..ops.maxsim import maxsim_scores
 from ..ops.topk import bucketed_masked_top_k_batch, masked_top_k, merge_topk
 from ..types import QueryPlan, RetrievalResult
@@ -123,6 +123,65 @@ def _shard_csr(bm25, n_loc: int, s: int):
         jnp.asarray(out_pd),
         jnp.asarray(out_pt),
         l_max,
+    )
+
+
+def _shard_mentions(ce_host: np.ndarray, n_loc: int, s: int, e_pad: int, cap: int):
+    """Invert chunk_entities[N, M] into per-shard entity->chunk mention CSR.
+
+    The sparse graph backend's index build (host NumPy, same contiguous-slice
+    resharding trick as :func:`_shard_csr`: mention lists are chunk-ascending,
+    so each (entity, shard) block is one contiguous run). Entities mentioned in
+    more than ``cap`` chunks keep the ``cap`` lowest chunk rows (deterministic;
+    the reference's Cypher keyword search LIMITs chunk lists the same way).
+
+    Returns (offsets [S, E+1] i32, lengths [S, E] i32, docs [S, width] i32
+    local rows, l_max_g, truncated: bool).
+    """
+    n, m = ce_host.shape
+    flat_ent = ce_host.reshape(-1).astype(np.int64)
+    flat_doc = np.repeat(np.arange(n, dtype=np.int64), m)
+    keep = (flat_ent >= 0) & (flat_ent < e_pad)
+    fe, fd = flat_ent[keep], flat_doc[keep]
+    order = np.lexsort((fd, fe))  # entity-major, chunk-ascending
+    fe, fd = fe[order], fd[order]
+    cnt = np.bincount(fe, minlength=e_pad)
+    offs_full = np.zeros(e_pad + 1, np.int64)
+    np.cumsum(cnt, out=offs_full[1:])
+    pos_in_ent = np.arange(fe.shape[0]) - np.repeat(offs_full[:-1], cnt)
+    k2 = pos_in_ent < cap
+    truncated = bool((cnt > cap).any())
+    fe, fd = fe[k2], fd[k2]
+    lens_g = np.minimum(cnt, cap)
+    offs_g = np.zeros(e_pad + 1, np.int64)
+    np.cumsum(lens_g, out=offs_g[1:])
+
+    shard_of = np.minimum(fd // max(n_loc, 1), s - 1)
+    counts = np.bincount(fe * s + shard_of, minlength=e_pad * s).reshape(e_pad, s)
+    l_max_g = max(int(counts.max()) if fe.size else 1, 1)
+    out_offsets = np.zeros((s, e_pad + 1), np.int32)
+    np.cumsum(counts.T, axis=1, out=out_offsets[:, 1:])
+    nnz_max = int(out_offsets[:, -1].max()) if fe.size else 0
+    width = nnz_max + l_max_g
+    out_docs = np.full((s, width), -1, np.int32)
+
+    within = np.cumsum(counts, axis=1) - counts  # prefix inside the entity's run
+    g_start = offs_g[:-1, None] + within  # [E, S]
+    for si in range(s):
+        c = counts[:, si]
+        total = int(c.sum())
+        if total == 0:
+            continue
+        reps = np.repeat(g_start[:, si], c)
+        local_off = np.arange(total) - np.repeat(out_offsets[si, :-1], c)
+        idx = reps + local_off
+        out_docs[si, :total] = (fd[idx] - si * n_loc).astype(np.int32)
+    return (
+        jnp.asarray(out_offsets),
+        jnp.asarray(counts.T.astype(np.int32)),  # [S, E]
+        jnp.asarray(out_docs),
+        l_max_g,
+        truncated,
     )
 
 
@@ -238,14 +297,56 @@ class ShardedEngine:
             self._use_int8 = False
             self.dense_scales = shard_rows(jnp.ones((n_pad,), jnp.float32))
         # ---- graph ----
+        # Backend choice (config.graph_backend): "sparse" scores only chunks
+        # that mention an activated entity via per-shard entity->chunk mention
+        # CSR (O(matched mentions)); "dense" scans chunk_entities[N, M] per
+        # query (O(N) — measured ~half of full-pipeline device time at 1M).
+        # "auto" picks sparse exactly when provably EXACT: every possibly-
+        # activated entity fits the A slots (worst-case k-hop reach) and no
+        # mention list was truncated by graph_mention_cap.
+        self.graph_mode = "none"
+        self.graph_active = 1
+        self.g_l_max = 1
+        # run bound for the sparse path's segmented max: a chunk matches at most
+        # M mention slots regardless of how many entities are activated
+        self._graph_m = int(gx.chunk_entities.shape[1]) if gx is not None else 1
         if gx is not None:
             self.nbr = repl(gx.nbr)
-            self.chunk_entities = shard_rows(gx.chunk_entities, 2)
             self.e_pad = gx.e_pad
+            backend = cfg.graph_backend
+            ce_host = getattr(gx, "host_chunk_entities", None)
+            if backend in ("sparse", "auto") and ce_host is not None:
+                deg = int(gx.nbr.shape[1])
+                reach = 1
+                bound = 1
+                for _ in range(cfg.graph_hops):
+                    reach *= deg
+                    bound += reach
+                bound = min(cfg.graph_max_seeds * bound, gx.e_pad)
+                a_slots = min(bound, cfg.graph_active_slots)
+                g_off, g_len, g_docs, l_max_g, truncated = _shard_mentions(
+                    ce_host, self.n_loc, s, gx.e_pad, cfg.graph_mention_cap
+                )
+                exact = (not truncated) and bound <= cfg.graph_active_slots
+                if backend == "sparse" or exact:
+                    self.graph_mode = "sparse"
+                    self.graph_active = a_slots
+                    self.g_l_max = l_max_g
+                    self.g_offsets = shard_stacked(g_off, 2)
+                    self.g_lengths = shard_stacked(g_len, 2)
+                    self.g_docs = shard_stacked(g_docs, 2)
+            if self.graph_mode != "sparse":
+                self.graph_mode = "dense"
+                self.chunk_entities = shard_rows(gx.chunk_entities, 2)
         else:
             self.nbr = repl(jnp.full((8, 1), -1, jnp.int32))
-            self.chunk_entities = shard_rows(jnp.full((n_pad, 1), -1, jnp.int32), 2)
             self.e_pad = 8
+        if self.graph_mode != "dense":
+            self.chunk_entities = shard_rows(jnp.full((n_pad, 1), -1, jnp.int32), 2)
+        if self.graph_mode != "sparse":
+            self.g_offsets = shard_stacked(jnp.zeros((s, 2), jnp.int32), 2)
+            self.g_lengths = shard_stacked(jnp.zeros((s, 1), jnp.int32), 2)
+            self.g_docs = shard_stacked(jnp.full((s, 2), -1, jnp.int32), 2)
         # ---- collection scoping (sharded row -> collection-id filter table) ----
         self.collection_ids = dict(getattr(retriever, "collection_ids", {}) or {})
         coll = getattr(retriever, "collection_of", None)
@@ -290,6 +391,10 @@ class ShardedEngine:
             or new.lex_l_max != self.lex_l_max
             or new.lexical_mode != self.lexical_mode
             or new.e_pad != self.e_pad
+            or new.graph_mode != self.graph_mode
+            or new.graph_active != self.graph_active
+            or new.g_l_max != self.g_l_max
+            or new._graph_m != self._graph_m
             or new.dim != self.dim
             or new._use_int8 != self._use_int8
             or new._use_int4 != self._use_int4
@@ -305,7 +410,8 @@ class ShardedEngine:
         for attr in (
             "retriever", "corpus", "lex_offsets", "lex_lengths", "lex_pd", "lex_pt",
             "term_ids", "term_weights", "embeddings", "dense_scales", "valid",
-            "nbr", "chunk_entities", "collection_of", "parent_of", "parent_emb",
+            "nbr", "chunk_entities", "g_offsets", "g_lengths", "g_docs",
+            "collection_of", "parent_of", "parent_emb",
             "maxsim_tokens", "maxsim_mask", "collection_ids",
         ):
             setattr(self, attr, getattr(new, attr))
@@ -364,6 +470,10 @@ class ShardedEngine:
         hops = cfg.graph_hops
         n_loc = self.n_loc
         l_max = self.lex_l_max
+        graph_mode = self.graph_mode
+        graph_a = self.graph_active
+        g_l_max = self.g_l_max
+        graph_m = self._graph_m
 
         def merge(ids_b, vals_b, k):
             """[B, k_local] local -> [B, k] global exact merge via all_gather."""
@@ -378,6 +488,7 @@ class ShardedEngine:
         def program(
             lex_offsets, lex_lengths, lex_pd, lex_pt,
             term_ids, term_weights, embeddings, dense_scales, valid, nbr, chunk_entities,
+            g_offsets, g_lengths, g_docs,
             collection_of,
             parent_of, parent_emb, mx_tokens, mx_mask,
             q_terms, qs_terms, qs_slots, ql_terms, ql_slots,
@@ -387,6 +498,7 @@ class ShardedEngine:
             # stacked shard arrays arrive as [1, ...]: drop the shard axis
             lex_offsets, lex_lengths = lex_offsets[0], lex_lengths[0]
             lex_pd, lex_pt = lex_pd[0], lex_pt[0]
+            g_offsets, g_lengths, g_docs = g_offsets[0], g_lengths[0], g_docs[0]
             # query payloads ship as float16 / sparse ids to minimize the host->device
             # transfer (PCIe/tunnel bound at high QPS); compute dtypes restore here
             q_vec = q_vec.astype(jnp.float32)
@@ -506,18 +618,50 @@ class ShardedEngine:
                         .at[jnp.clip(sr, 0, e_pad - 1)]
                         .max(sr >= 0)
                     )
-                    return khop_entity_scores(nbr, seed_vec, hops=hops)
+                    return khop_distances(nbr, seed_vec, hops=hops)
 
-                # per-query k-hop over the (small) entity graph, then blocked
-                # bucket-maxima + member rescore: neither per-chunk scores nor
-                # the [N, M, B] gather intermediate ever materialize (that
-                # intermediate is 8 GB at 8M chunks x batch 64 — the 8M OOM),
-                # and the per-query length-N top-k sort is avoided
-                ent_all = jax.vmap(entity_frontier)(seed_rows)  # [B, e_pad]
-                g_ids, g_vals = graph_topk_batch(
-                    chunk_entities, ent_all, k_graph,
-                    valid=batch_row_mask(), query_on=graph_on,
-                )
+                # per-query k-hop over the (small) entity graph
+                dist = jax.vmap(entity_frontier)(seed_rows)  # [B, e_pad] f32
+                reach = dist <= float(hops)
+                ent_all = jnp.where(reach, 1.0 / (1.0 + dist), 0.0)
+                if graph_mode == "sparse":
+                    # entity->chunk mention postings: score only chunks that
+                    # mention an activated entity (O(matched mentions); exact —
+                    # the auto policy guarantees every activated entity fits
+                    # the A slots and no mention list was truncated)
+                    act_s, act_e = jax.lax.top_k(
+                        jnp.where(graph_on[:, None], ent_all, 0.0), graph_a
+                    )
+                    act_e = jnp.where(act_s > 0.0, act_e, -1)
+
+                    def g_one(ae, asc, b):
+                        return graph_sparse_topk(
+                            g_offsets, g_lengths, g_docs, ae, asc,
+                            row_mask_for(b),
+                            l_max_g=g_l_max, n_pad=n_loc, top_k=k_graph,
+                            run_bound=graph_m,
+                        )
+
+                    g_ids, g_vals = jax.vmap(g_one)(
+                        act_e, act_s, jnp.arange(batch)
+                    )
+                else:
+                    # dense scan: blocked bucket-maxima over u8 hop-ranks (4x
+                    # less gather traffic than f32 scores; selection order
+                    # identical) + exact f32 member rescore. Neither per-chunk
+                    # scores nor the [N, M, B] gather intermediate materialize
+                    # (that intermediate is 8 GB at 8M chunks x batch 64 — the
+                    # 8M OOM), and the per-query length-N top-k sort is avoided
+                    ranks = jnp.where(
+                        reach & graph_on[:, None],
+                        (float(hops) + 1.0) - dist,
+                        0.0,
+                    ).astype(jnp.uint8)
+                    g_ids, g_vals = graph_topk_batch(
+                        chunk_entities, ent_all, k_graph,
+                        valid=batch_row_mask(), query_on=graph_on,
+                        entity_ranks=ranks,
+                    )
                 graph_ids, graph_scores = merge(g_ids, g_vals, k_graph)
             else:
                 graph_ids = jnp.full((batch, 1), -1, jnp.int32)
@@ -590,6 +734,7 @@ class ShardedEngine:
             in_specs=(
                 shard2, shard2, shard2, shard2,
                 shard2, shard2, shard2, P("shard"), P("shard"), rep, shard2,
+                shard2, shard2, shard2,  # graph mention CSR (g_offsets/lengths/docs)
                 P("shard"),
                 rep, rep, rep, rep,
                 qd2, qd2, qd2, qd2, qd2, qd2, qd3, qd2, qd2, qd2, rep, rep, qd1, qd1,
@@ -612,7 +757,9 @@ class ShardedEngine:
             self.term_ids, self.term_weights, self.embeddings,
             self.dense_scales,
             self.valid,
-            self.nbr, self.chunk_entities, self.collection_of, self.parent_of,
+            self.nbr, self.chunk_entities,
+            self.g_offsets, self.g_lengths, self.g_docs,
+            self.collection_of, self.parent_of,
             self.parent_emb if self.parent_emb is not None else zero2,
             self.maxsim_tokens if self.maxsim_tokens is not None else zero2[:, :, None],
             self.maxsim_mask if self.maxsim_mask is not None else zero_mask,
