@@ -106,3 +106,54 @@ def test_staged_vs_engine_agree_with_graph(seed, small_config):
         assert [x.chunk_id for x in r_staged.results] == [
             x.chunk_id for x in r_eng.results
         ], (seed, q)
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_graph_backends_agree_fuzz(seed, small_config):
+    """Randomized sparse-vs-dense graph backend parity: random corpora, shared
+    entities across many chunks (tie-heavy k-hop scores), random graph queries.
+    The auto policy's exactness contract, fuzzed."""
+    from triple_hybrid_rag_tpu.index.graph_index import build_graph_index
+    from triple_hybrid_rag_tpu.models.entity_extractor import (
+        EntityStore,
+        RuleBasedExtractor,
+    )
+
+    rng = random.Random(seed)
+    cfg = small_config.replace(
+        graph_enabled=True, embedding_dtype="float32",
+        safety_threshold=0.0, capacity_round=8,
+    )
+    people = ["Maria Silva", "John Smith", "Ana Costa", "Bob Jones"]
+    orgs = ["Acme Corp", "Beta LLC", "Gamma Inc"]
+    store = random_corpus(rng, cfg, n_docs=rng.randint(8, 14))
+    estore = EntityStore()
+    ex = RuleBasedExtractor(cfg)
+    for p in store.parents:
+        kids = [c for c in store.children if c.parent_id == p.parent_id]
+        who, org = rng.choice(people), rng.choice(orgs)
+        p.text += f" {who} works for {org}. {rng.choice(orgs)} pays {who}."
+        estore.store_extraction(ex.extract(p, kids))
+    gidx = build_graph_index(estore, store, cfg)
+
+    queries = [
+        f"How is {rng.choice(people)} related to {rng.choice(orgs)}?",
+        f"Who works for {rng.choice(orgs)}?",
+        "invoice payment settlement",
+    ]
+    results = {}
+    for backend in ("sparse", "dense"):
+        c = cfg.replace(graph_backend=backend)
+        eng = ShardedEngine(Retriever(store, c, graph_index=gidx), corpus_mesh())
+        assert eng.graph_mode == backend, (seed, backend)
+        results[backend] = eng.retrieve_batch(queries)
+    for q, rs, rd in zip(queries, results["sparse"], results["dense"]):
+        assert rs.refused == rd.refused, (seed, q)
+        assert [x.chunk_id for x in rs.results] == [
+            x.chunk_id for x in rd.results
+        ], (seed, q)
+        np.testing.assert_allclose(
+            [x.final_score for x in rs.results],
+            [x.final_score for x in rd.results],
+            rtol=1e-5, err_msg=f"{seed} {q}",
+        )

@@ -275,3 +275,48 @@ def test_rerank_validation(server):
     assert status == 400
     status, body = _post(server + "/rerank", {"query": "x", "documents": ["a"], "top_n": 0})
     assert status == 400 and "top_n" in body["error"]
+
+
+def test_auth_token_gate(cfg):
+    """auth_token set: every route 401s without the bearer token, works with it
+    (Authorization header or X-API-Key)."""
+    import urllib.error
+
+    rag = RAG(config=cfg)
+    rag.ingest_text("# Pay\n\nInvoices settle in thirty days.", name="p.md")
+    httpd = serve(host="127.0.0.1", port=0, rag=rag, auth_token="s3cret")
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/healthz")
+        assert e.value.code == 401
+        code, _ = _post(base + "/query", {"query": "invoices"})
+        assert code == 401
+
+        for headers in (
+            {"Authorization": "Bearer s3cret"},
+            {"X-API-Key": "s3cret"},
+        ):
+            req = urllib.request.Request(base + "/healthz", headers=headers)
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 200
+        req = urllib.request.Request(
+            base + "/query",
+            data=json.dumps({"query": "invoices settle"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read().decode())
+        assert "results" in out
+        # wrong token still refused
+        req = urllib.request.Request(
+            base + "/healthz", headers={"Authorization": "Bearer nope"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 401
+    finally:
+        httpd.shutdown()

@@ -248,9 +248,12 @@ def cmd_serve(args: argparse.Namespace) -> int:
             if (index_dir / "manifest.json").exists()
             else RAG(use_sharded_engine=True)
         )
+    import os
+
     httpd = serve(
         host=args.host, port=args.port, rag=rag, index_dir=args.index,
         ingest_root=args.ingest_root,
+        auth_token=args.auth_token or os.environ.get("RAG_SERVER_TOKEN") or None,
     )
     print(f"thr serving on http://{args.host}:{args.port} (index: {args.index})")
     try:
@@ -342,6 +345,9 @@ def main(argv=None) -> int:
     p.add_argument("--ingest-root", default=None,
                    help="allow POST /ingest {'path': ...} for files under this directory "
                         "(disabled when omitted)")
+    p.add_argument("--auth-token", default=None,
+                   help="require 'Authorization: Bearer <token>' on every request "
+                        "(default: $RAG_SERVER_TOKEN, or no auth when unset)")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

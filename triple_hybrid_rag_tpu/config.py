@@ -138,6 +138,19 @@ class RAGConfig:
     # weights without overwriting the package file.
     encoder_params_path: Optional[str] = None
     embedding_batch_size: int = 20
+    # Dense-channel search backend. "exact" = full MXU scan (default: lossless,
+    # and faster than the reference's HNSW-over-Postgres at every measured
+    # scale). "ivf" = blocked-IVF ANN (index/ivf.py): spherical-k-means
+    # cluster-major reorder + fixed-width block probing — the TPU-native
+    # answer to pgvector's HNSW (which is also approximate). Wins when
+    # compute/latency matters more than the last recall points: probing
+    # ivf_probes of n_loc/ivf_block_rows blocks cuts dense compute and HBM
+    # reads by that ratio. int4-packed rows stay on the exact path.
+    semantic_backend: str = "exact"  # "exact" | "ivf"
+    ivf_block_rows: int = 512  # rows per probe block (fixed width: no imbalance)
+    ivf_probes: int = 32  # blocks scanned per query (>= n_blocks -> exact, tested)
+    ivf_kmeans_iters: int = 8  # build-time Lloyd iterations (spherical k-means)
+    ivf_clusters: int = 0  # 0 = auto (n_loc / ivf_block_rows) ordering clusters
 
     # ---- lexical / BM25 engine (TPU-native replacement for Postgres FTS) ----
     bm25_k1: float = 1.5

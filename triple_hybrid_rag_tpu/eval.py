@@ -283,10 +283,12 @@ def evaluate_baseline_configs(
 #: training lexicon could have been tuned to them.
 _PACKAGE_SOURCES = (
     "numpy", "scipy", "pandas", "jax", "torch", "einops", "chex",
-    # second wave (round-2 late): doubles the author pool and adds ML-docs prose
-    # genres (configuration guides, API reference, math notation) the first
-    # seven underrepresent
-    "flax", "optax", "transformers", "accelerate", "haiku",
+    # second wave (round-2 late): widens the author pool with ML-docs prose
+    # genres the first seven underrepresent. NEVER add a package from
+    # models.pretrain.TRAIN_TEXT_SOURCES here — the encoder fine-tunes on those,
+    # and the disjointness test (test_pretrain.py) exists to keep these evals
+    # independent of training text (flax/optax were caught by exactly that test).
+    "transformers", "accelerate", "haiku",
 )
 
 

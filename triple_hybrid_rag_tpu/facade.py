@@ -166,6 +166,9 @@ class RAG:
         if self._engine is not None:  # compiled serving-engine backend choices
             out["engine_lexical_mode"] = self._engine.lexical_mode
             out["engine_graph_mode"] = self._engine.graph_mode
+            out["engine_semantic_backend"] = (
+                "ivf" if self._engine.ivf_mode else "exact"
+            )
             out["engine_n_shards"] = self._engine.n_shards
             out["engine_n_pad"] = self._engine.n_pad
         return out

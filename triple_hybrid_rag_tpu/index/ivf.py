@@ -1,0 +1,216 @@
+"""Blocked-IVF approximate dense search: the TPU-native ANN backend.
+
+The reference's semantic channel runs on a pgvector **HNSW** index — an
+*approximate* nearest-neighbor structure (``m=16, ef_construction=64``,
+``/root/reference/database/migrations/20260114_rag2_schema.sql:176-179``). This
+framework's default is an exact MXU scan (faster than HNSW-over-Postgres at every
+measured scale), but exactness costs O(N) compute per batch; for latency-critical
+small-batch serving and very large corpora an ANN option belongs in the box.
+
+Graph-walk ANN (HNSW's pointer chasing) is hostile to XLA: data-dependent
+control flow, scalar gathers, unbounded loop trips. The TPU-native equivalent is
+**IVF with balanced re-blocking**:
+
+1. spherical k-means clusters the (unit-norm) rows — build-time MXU matmuls;
+2. rows are *reordered cluster-major* so same-cluster rows are contiguous;
+3. the reordered matrix is chopped into fixed ``w``-row blocks; each block's
+   probe centroid is the mean of its rows. Fixed-width blocks sidestep the
+   classic IVF imbalance pathology (one mega-cluster inflating every probe
+   window): every probe reads exactly ``w`` contiguous rows — a static-shape,
+   DMA-friendly ``dynamic_slice``, never a scatter/gather of scalars.
+4. a query scores all block centroids (one tiny matvec), probes the top ``p``
+   blocks, scores their rows exactly, and top-k's the candidates with the same
+   (score desc, id asc) tie-break as the exact path — so ``p = n_blocks``
+   reproduces exact-scan results bit-for-bit (tested).
+
+Recall/compute trade: probing ``p`` of ``W`` blocks scans ``p*w`` of ``n`` rows
+(compute and HBM reads drop by ``W/p``); k-means locality makes the probed rows
+the right ones (measured recall on the independent docstring corpus in
+``eval_results/``). Per-shard local clustering (each mesh shard clusters its own
+rows) keeps the build embarrassingly parallel and the serve-path merge identical
+to the exact path's all-gather top-k.
+
+Supports f32/bf16 rows and int8 rows + per-row scales (scales reorder with the
+rows). Packed int4 stays on the exact blocked path (`int4_topk_blocked`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _dequant_f32(rows: jax.Array, scales: Optional[jax.Array]) -> jax.Array:
+    r = rows.astype(jnp.float32)
+    if scales is not None and rows.dtype == jnp.int8:
+        r = r * scales[:, None]
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "block"))
+def kmeans_assign(
+    rows: jax.Array,  # f32|bf16|int8[n, D] (unit rows pre-quant)
+    scales: Optional[jax.Array],  # f32[n] | None (int8 dequant)
+    valid: jax.Array,  # bool[n]
+    *,
+    n_clusters: int,
+    iters: int = 8,
+    block: int = 65536,
+) -> jax.Array:
+    """Spherical k-means cluster assignment i32[n] (invalid rows -> n_clusters).
+
+    Build-time only. Assignment is blocked matmuls (MXU); the centroid update is
+    a one-hot-matmul accumulation (also MXU) instead of a scatter — the Pallas
+    guide's 'never scatter when a matmul will do' rule applied to clustering.
+    Deterministic: strided initialization, no RNG.
+    """
+    n, d = rows.shape
+    n_pad = ((n + block - 1) // block) * block
+    rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0)))
+    scales_p = (
+        jnp.pad(scales, (0, n_pad - n)) if scales is not None else None
+    )
+    valid_p = jnp.pad(valid, (0, n_pad - n))
+    n_blocks = n_pad // block
+
+    # strided init over (hopefully shuffled-enough) row order; renormalized
+    stride = max(n // n_clusters, 1)
+    init_idx = (jnp.arange(n_clusters) * stride) % max(n, 1)
+    cent = _dequant_f32(rows[init_idx], scales[init_idx] if scales is not None else None)
+    cent = cent / jnp.maximum(jnp.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
+
+    def one_iter(_, cent):
+        def body(i, acc_cnt):
+            acc, cnt = acc_cnt
+            r = jax.lax.dynamic_slice(rows_p, (i * block, 0), (block, d))
+            s = (
+                jax.lax.dynamic_slice(scales_p, (i * block,), (block,))
+                if scales_p is not None
+                else None
+            )
+            v = jax.lax.dynamic_slice(valid_p, (i * block,), (block,))
+            rf = _dequant_f32(r, s)
+            a = jnp.argmax(rf @ cent.T, axis=1)  # [block]
+            onehot = (
+                jax.nn.one_hot(a, n_clusters, dtype=jnp.float32)
+                * v[:, None].astype(jnp.float32)
+            )
+            return acc + onehot.T @ rf, cnt + onehot.sum(axis=0)
+
+        acc, cnt = jax.lax.fori_loop(
+            0, n_blocks, body,
+            (jnp.zeros((n_clusters, d), jnp.float32), jnp.zeros((n_clusters,), jnp.float32)),
+        )
+        new = acc / jnp.maximum(cnt[:, None], 1.0)
+        norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+        new = jnp.where(norm > 1e-9, new / jnp.maximum(norm, 1e-9), cent)
+        return new
+
+    cent = jax.lax.fori_loop(0, iters, one_iter, cent)
+
+    def assign_block(i):
+        r = jax.lax.dynamic_slice(rows_p, (i * block, 0), (block, d))
+        s = (
+            jax.lax.dynamic_slice(scales_p, (i * block,), (block,))
+            if scales_p is not None
+            else None
+        )
+        return jnp.argmax(_dequant_f32(r, s) @ cent.T, axis=1).astype(jnp.int32)
+
+    assign = jax.lax.map(assign_block, jnp.arange(n_blocks)).reshape(-1)[:n]
+    return jnp.where(valid, assign, jnp.int32(n_clusters))  # invalid sorts last
+
+
+def ivf_build_local(
+    rows: jax.Array,  # f32|bf16|int8[n, D]
+    scales: Optional[jax.Array],  # f32[n] | None
+    valid: jax.Array,  # bool[n]
+    *,
+    block_rows: int,
+    n_clusters: int = 0,
+    iters: int = 8,
+) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
+    """Cluster-major reorder + fixed-width block centroids for ONE shard's rows.
+
+    Returns (rows_reordered [n, D] same dtype, scales_reordered | None,
+    perm i32[n] original local row per slot (n = invalid sentinel),
+    centroids f32[W, D] block means, W = n // block_rows).
+
+    ``n`` must be a multiple of ``block_rows`` (the engine's capacity rounding
+    guarantees it after padding).
+    """
+    n, d = rows.shape
+    w = block_rows
+    assert n % w == 0, (n, w)
+    C = n_clusters or max(n // w, 1)
+    assign = kmeans_assign(rows, scales, valid, n_clusters=C, iters=iters)
+    # stable cluster-major order; within a cluster, ascending original row
+    perm = jnp.argsort(assign, stable=True).astype(jnp.int32)
+    rows_r = rows[perm]
+    scales_r = scales[perm] if scales is not None else None
+    perm = jnp.where(valid[perm], perm, jnp.int32(n))  # dead slots -> sentinel
+    blocks = _dequant_f32(
+        rows_r, scales_r
+    ).reshape(n // w, w, d)
+    alive = (perm < n).reshape(n // w, w, 1).astype(jnp.float32)
+    cent = (blocks * alive).sum(axis=1) / jnp.maximum(alive.sum(axis=1), 1.0)
+    return rows_r, scales_r, perm, cent
+
+
+def ivf_topk_local(
+    rows_r: jax.Array,  # f32|bf16|int8[n, D] cluster-major reordered rows
+    scales_r: Optional[jax.Array],  # f32[n] | None
+    perm: jax.Array,  # i32[n] original local row per slot (n = invalid)
+    centroids: jax.Array,  # f32[W, D] block means
+    q_vec: jax.Array,  # f32[B, D] unit queries
+    *,
+    probes: int,
+    top_k: int,
+    row_mask: Optional[jax.Array] = None,  # bool[B, n_local_rows] original-id mask
+) -> Tuple[jax.Array, jax.Array]:
+    """Probed top-k over block-IVF layout. Returns (ids i32[B, k] ORIGINAL local
+    rows, scores f32[B, k]) with -1 / -inf invalid slots; tie-break
+    (score desc, original id asc) — identical to the exact path, so
+    ``probes >= W`` reproduces it bit-for-bit."""
+    n, d = rows_r.shape
+    wn = centroids.shape[0]
+    w = n // wn
+    p = min(probes, wn)
+    neg = jnp.float32(-jnp.inf)
+
+    def one(q, mask_q):
+        cs = centroids @ q  # [W]
+        _, probe = jax.lax.top_k(cs, p)  # block ids
+
+        def score_block(c):
+            start = c * w
+            r = jax.lax.dynamic_slice(rows_r, (start, 0), (w, d))
+            ids = jax.lax.dynamic_slice(perm, (start,), (w,))
+            s = r.astype(jnp.float32) @ q
+            if scales_r is not None and rows_r.dtype == jnp.int8:
+                sc = jax.lax.dynamic_slice(scales_r, (start,), (w,))
+                s = s * sc
+            ok = ids < n
+            if mask_q is not None:
+                ok = ok & mask_q[jnp.clip(ids, 0, mask_q.shape[0] - 1)]
+            return jnp.where(ok, s, neg), jnp.where(ok, ids, jnp.int32(2**30))
+
+        vals, ids = jax.lax.map(score_block, probe)  # [p, w] x2
+        vals, ids = vals.reshape(-1), ids.reshape(-1)
+        _, s_ids, s_vals = jax.lax.sort((-vals, ids, vals), dimension=-1, num_keys=2)
+        k = min(top_k, s_ids.shape[0])
+        out_i, out_v = s_ids[:k], s_vals[:k]
+        if k < top_k:
+            out_i = jnp.pad(out_i, (0, top_k - k), constant_values=2**30)
+            out_v = jnp.pad(out_v, (0, top_k - k), constant_values=neg)
+        ok = out_v > neg
+        return jnp.where(ok, out_i, -1).astype(jnp.int32), jnp.where(ok, out_v, neg)
+
+    if row_mask is None:
+        ids, vals = jax.lax.map(lambda q: one(q, None), q_vec)
+    else:
+        ids, vals = jax.lax.map(lambda a: one(a[0], a[1]), (q_vec, row_mask))
+    return ids, vals

@@ -214,6 +214,21 @@ class ShardedEngine:
             n_pads.append(dx.embeddings.shape[0])
         n_pad = max(n_pads)
         n_pad = ((n_pad + s - 1) // s) * s
+        # blocked-IVF dense backend (index/ivf.py): per-shard row count must be a
+        # multiple of the probe-block width so the cluster-major layout chops into
+        # whole blocks; round capacity up before any placement
+        self.ivf_mode = (
+            cfg.semantic_backend == "ivf"
+            and dx is not None
+            and cfg.semantic_enabled
+            and not dx.is_int4  # packed nibbles stay on the exact blocked path
+        )
+        if self.ivf_mode:
+            self.ivf_w = max(1, cfg.ivf_block_rows)
+            unit = s * self.ivf_w
+            n_pad = ((n_pad + unit - 1) // unit) * unit
+        else:
+            self.ivf_w = 1
         self.n_pad = n_pad
         self.n_loc = n_pad // s
 
@@ -296,6 +311,40 @@ class ShardedEngine:
             self._use_int4 = False
             self._use_int8 = False
             self.dense_scales = shard_rows(jnp.ones((n_pad,), jnp.float32))
+        if self.ivf_mode:
+            # per-shard blocked-IVF build ON DEVICE (shard_map: each shard
+            # clusters and reorders its own rows — embarrassingly parallel,
+            # nothing crosses ICI at build). Replaces the placed row matrix
+            # with its cluster-major reorder + perm + block centroids.
+            from ..index.ivf import ivf_build_local
+
+            w = self.ivf_w
+            use_scales = self._use_int8
+
+            def build(rows, scales, valid):
+                r, sc, perm, cent = ivf_build_local(
+                    rows, scales if use_scales else None, valid,
+                    block_rows=w, n_clusters=cfg.ivf_clusters,
+                    iters=cfg.ivf_kmeans_iters,
+                )
+                return r, (sc if sc is not None else scales), perm, cent
+
+            rows_r, scales_r, perm, cent = jax.jit(
+                jax.shard_map(
+                    build, mesh=self.mesh,
+                    in_specs=(P("shard", None), P("shard"), P("shard")),
+                    out_specs=(P("shard", None), P("shard"), P("shard"), P("shard", None)),
+                    check_vma=False,
+                )
+            )(self.embeddings, self.dense_scales, self.valid)
+            self.embeddings = rows_r
+            self.dense_scales = scales_r
+            self.ivf_perm = perm
+            self.ivf_centroids = cent
+        else:
+            self.ivf_perm = shard_rows(jnp.zeros((n_pad,), jnp.int32))
+            # 1 dummy centroid row per shard ([n_blocks_total, D] layout)
+            self.ivf_centroids = shard_stacked(jnp.zeros((s, 2), jnp.float32), 2)
         # ---- graph ----
         # Backend choice (config.graph_backend): "sparse" scores only chunks
         # that mention an activated entity via per-shard entity->chunk mention
@@ -342,7 +391,13 @@ class ShardedEngine:
             self.nbr = repl(jnp.full((8, 1), -1, jnp.int32))
             self.e_pad = 8
         if self.graph_mode != "dense":
-            self.chunk_entities = shard_rows(jnp.full((n_pad, 1), -1, jnp.int32), 2)
+            # tiny row-sharded placeholder (1 row/shard): the compiled program's
+            # graph_mode static never reads it in sparse/none mode, and a
+            # full-height dummy would waste n_pad*4 bytes of HBM (64 MB at 16M)
+            self.chunk_entities = jax.device_put(
+                jnp.full((s, 1), -1, jnp.int32),
+                NamedSharding(self.mesh, P("shard", None)),
+            )
         if self.graph_mode != "sparse":
             self.g_offsets = shard_stacked(jnp.zeros((s, 2), jnp.int32), 2)
             self.g_lengths = shard_stacked(jnp.zeros((s, 1), jnp.int32), 2)
@@ -395,6 +450,8 @@ class ShardedEngine:
             or new.graph_active != self.graph_active
             or new.g_l_max != self.g_l_max
             or new._graph_m != self._graph_m
+            or new.ivf_mode != self.ivf_mode
+            or new.ivf_w != self.ivf_w
             or new.dim != self.dim
             or new._use_int8 != self._use_int8
             or new._use_int4 != self._use_int4
@@ -410,6 +467,7 @@ class ShardedEngine:
         for attr in (
             "retriever", "corpus", "lex_offsets", "lex_lengths", "lex_pd", "lex_pt",
             "term_ids", "term_weights", "embeddings", "dense_scales", "valid",
+            "ivf_perm", "ivf_centroids",
             "nbr", "chunk_entities", "g_offsets", "g_lengths", "g_docs",
             "collection_of", "parent_of", "parent_emb",
             "maxsim_tokens", "maxsim_mask", "collection_ids",
@@ -437,6 +495,7 @@ class ShardedEngine:
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
         use_int4 = use_sem and self._use_int4
+        use_ivf = use_sem and self.ivf_mode
         # use_fused_topk None = auto: the bucketed-XLA path is faster at every
         # measured shape (config.py:use_fused_topk), so the fused kernel only
         # auto-enables when the f32[B, n_loc] score transient would cost real
@@ -452,7 +511,7 @@ class ShardedEngine:
                 and jax.devices()[0].platform != "cpu"
                 and score_bytes > cfg.fused_topk_auto_bytes
             )
-        use_fused = use_sem and fused_flag
+        use_fused = use_sem and fused_flag and not use_ivf
         # int4's scalable XLA path (blocked unpack + bucket top-k): the default
         # whenever the full unpack would materialize (score matrix era sizes)
         use_int4_blocked = use_int4 and not use_fused
@@ -487,7 +546,9 @@ class ShardedEngine:
 
         def program(
             lex_offsets, lex_lengths, lex_pd, lex_pt,
-            term_ids, term_weights, embeddings, dense_scales, valid, nbr, chunk_entities,
+            term_ids, term_weights, embeddings, dense_scales, valid,
+            ivf_perm, ivf_centroids,
+            nbr, chunk_entities,
             g_offsets, g_lengths, g_docs,
             collection_of,
             parent_of, parent_emb, mx_tokens, mx_mask,
@@ -560,7 +621,21 @@ class ShardedEngine:
                 lex_scores = jnp.zeros((batch, 1), jnp.float32)
 
             # ---- dense (one batched MXU matmul) ----
-            if use_fused:
+            if use_ivf:
+                # blocked-IVF ANN: probe top-P block centroids, score only their
+                # rows (index/ivf.py). ids come back as ORIGINAL local rows, so
+                # the standard all-gather merge applies unchanged.
+                from ..index.ivf import ivf_topk_local
+
+                d_ids, d_vals = ivf_topk_local(
+                    embeddings,
+                    dense_scales if use_int8 else None,
+                    ivf_perm, ivf_centroids, q_vec,
+                    probes=cfg.ivf_probes, top_k=k_sem,
+                    row_mask=batch_row_mask(),
+                )
+                sem_ids, sem_scores = merge(d_ids, d_vals, k_sem)
+            elif use_fused:
                 # Pallas fused matmul + bucket-max: the f32[B, n_loc] score
                 # matrix never reaches HBM (ops/pallas/fused_topk.py). Exact:
                 # ids bit-identical to the XLA path below, ties included.
@@ -594,7 +669,7 @@ class ShardedEngine:
                     q_vec.astype(embeddings.dtype), embeddings.T,
                     preferred_element_type=jnp.float32,
                 )  # [B, n_loc]
-            if use_sem and not use_fused and not use_int4_blocked:
+            if use_sem and not use_fused and not use_int4_blocked and not use_ivf:
                 m = batch_row_mask()
                 d_ids, d_vals = bucketed_masked_top_k_batch(
                     scores, k_sem,
@@ -733,7 +808,9 @@ class ShardedEngine:
             mesh=mesh,
             in_specs=(
                 shard2, shard2, shard2, shard2,
-                shard2, shard2, shard2, P("shard"), P("shard"), rep, shard2,
+                shard2, shard2, shard2, P("shard"), P("shard"),
+                P("shard"), shard2,  # blocked-IVF perm + block centroids
+                rep, shard2,
                 shard2, shard2, shard2,  # graph mention CSR (g_offsets/lengths/docs)
                 P("shard"),
                 rep, rep, rep, rep,
@@ -757,6 +834,7 @@ class ShardedEngine:
             self.term_ids, self.term_weights, self.embeddings,
             self.dense_scales,
             self.valid,
+            self.ivf_perm, self.ivf_centroids,
             self.nbr, self.chunk_entities,
             self.g_offsets, self.g_lengths, self.g_docs,
             self.collection_of, self.parent_of,

@@ -21,9 +21,10 @@ moves the XLA compile out of the first user query). Threaded server; queries ser
 through a lock around the device engine (single-stream device execution; scale-out is
 the mesh's job, not thread concurrency).
 
-Trust model: there is NO authentication — like the reference's FastAPI app, auth is the
-deployment's job (reverse proxy / network policy). Bind to 127.0.0.1 (the default)
-unless the network path is trusted. Filesystem ingestion via ``{"path": ...}`` is
+Trust model: NO authentication by default — like the reference's FastAPI app, auth is
+the deployment's job (reverse proxy / network policy). Bind to 127.0.0.1 (the default)
+unless the network path is trusted, or pass ``auth_token`` (``thr serve --auth-token`` /
+RAG_SERVER_TOKEN) to require ``Authorization: Bearer <token>`` on every request. Filesystem ingestion via ``{"path": ...}`` is
 disabled by default; pass ``ingest_root`` to allow paths under one directory only.
 """
 
@@ -206,6 +207,7 @@ class RAGServer:
         ingest_root: Optional[str] = None,
         batch_window_s: float = 0.002,
         max_batch: int = 64,
+        auth_token: Optional[str] = None,
     ) -> None:
         if rag is not None:
             self.rag = rag
@@ -218,6 +220,11 @@ class RAGServer:
         # (an unauthenticated /ingest {"path"} would otherwise let any caller index —
         # and then exfiltrate via /query — any file readable by the process)
         self.ingest_root = Path(ingest_root).resolve() if ingest_root else None
+        # optional shared-secret auth: when set, every request must carry
+        # "Authorization: Bearer <token>" (or X-API-Key). Default off to match the
+        # reference's no-auth FastAPI app; REQUIRED before binding a non-loopback
+        # host (round-1 advisor finding: /ingest {"path"} + /query = file exfil).
+        self.auth_token = auth_token
         self._lock = threading.Lock()
         self.started_at = time.time()
         # micro-batching needs the batched engine path; the staged retriever
@@ -382,6 +389,15 @@ def make_handler(server_state: RAGServer):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _authorized(self) -> bool:
+            tok = server_state.auth_token
+            if not tok:
+                return True
+            auth = self.headers.get("Authorization", "")
+            if auth == f"Bearer {tok}":
+                return True
+            return self.headers.get("X-API-Key", "") == tok
+
         def _send(self, code: int, payload, content_type="application/json"):
             body = (
                 payload.encode()
@@ -395,6 +411,9 @@ def make_handler(server_state: RAGServer):
             self.wfile.write(body)
 
         def do_GET(self):
+            if not self._authorized():
+                self._send(401, {"error": "unauthorized"})
+                return
             try:
                 if self.path == "/metrics":
                     self._send(200, rag_metrics.prometheus_text(), "text/plain; version=0.0.4")
@@ -408,6 +427,9 @@ def make_handler(server_state: RAGServer):
                 self._send(500, {"error": str(e)})
 
         def do_POST(self):
+            if not self._authorized():
+                self._send(401, {"error": "unauthorized"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
@@ -441,11 +463,13 @@ def serve(
     ingest_root: Optional[str] = None,
     batch_window_s: float = 0.002,
     max_batch: int = 64,
+    auth_token: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Create (and return) the HTTP server; caller runs serve_forever()."""
     state = RAGServer(
         rag=rag, index_dir=index_dir, ingest_root=ingest_root,
         batch_window_s=batch_window_s, max_batch=max_batch,
+        auth_token=auth_token,
     )
     if prewarm:
         warm_s = state.prewarm()
