@@ -247,3 +247,47 @@ def test_ivf_engine_int8_and_collections(small_config):
     assert ra.results and all("Tenant A" in x.text for x in ra.results)
     assert rb.results and all("Tenant B" in x.text for x in rb.results)
     assert rag.stats()["engine_semantic_backend"] == "ivf"
+
+
+def test_int4_rows_roundtrip(rng):
+    """Packed int4 rows: windows unpack on the fly, scores match the dequantized
+    oracle exactly (f32 window scoring, not int8 MXU approximation)."""
+    from triple_hybrid_rag_tpu.index.dense_index import quantize_rows_int4
+
+    rows = _unit_rows(rng, 64, 32)
+    packed, scales = quantize_rows_int4(rows)
+    valid = np.ones(64, bool)
+    rows_r, scales_r, perm, cent = ivf_build_local(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(valid), block_rows=8
+    )
+    assert rows_r.dtype == jnp.uint8 and cent.shape == (8, 32)
+    q = _unit_rows(rng, 2, 32)
+    ids, vals = ivf_topk_local(
+        rows_r, scales_r, perm, cent, jnp.asarray(q), probes=8, top_k=5
+    )
+    lo = (packed & 0xF).astype(np.int8)
+    hi = ((packed >> 4) & 0xF).astype(np.int8)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    deq = np.concatenate([lo, hi], axis=1).astype(np.float32) * scales[:, None]
+    for b in range(2):
+        ref_ids, ref_vals = _brute_topk(deq, valid, q[b], 5)
+        np.testing.assert_array_equal(np.asarray(ids)[b], ref_ids)
+        np.testing.assert_allclose(np.asarray(vals)[b], ref_vals, rtol=1e-4)
+
+
+def test_ivf_engine_int4_smoke(small_config):
+    """int4 + ivf through the engine: retrieves its own topic."""
+    from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+
+    c = small_config.replace(
+        graph_enabled=False, lexical_enabled=False, rerank_enabled=False,
+        embedding_dtype="int4", safety_threshold=0.0, capacity_round=8,
+        semantic_backend="ivf", ivf_block_rows=8, ivf_probes=64,
+    )
+    corpus = _engine_fixture(c)
+    eng = ShardedEngine(Retriever(corpus, c), corpus_mesh())
+    assert eng.ivf_mode
+    r = eng.retrieve("fox wildlife forest habitat")
+    assert r.results and "fox" in r.results[0].text.lower()

@@ -30,8 +30,10 @@ the right ones (measured recall on the independent docstring corpus in
 rows) keeps the build embarrassingly parallel and the serve-path merge identical
 to the exact path's all-gather top-k.
 
-Supports f32/bf16 rows and int8 rows + per-row scales (scales reorder with the
-rows). Packed int4 stays on the exact blocked path (`int4_topk_blocked`).
+Supports every dense row dtype: f32/bf16, int8 + per-row scales, and packed
+int4 (uint8 nibbles — probe windows unpack on the fly, w x D at a time, and
+score in f32: *higher* precision than the exact int4 path's int8 MXU dots).
+Scales reorder with their rows.
 """
 
 from __future__ import annotations
@@ -44,8 +46,17 @@ import jax.numpy as jnp
 
 
 def _dequant_f32(rows: jax.Array, scales: Optional[jax.Array]) -> jax.Array:
-    r = rows.astype(jnp.float32)
-    if scales is not None and rows.dtype == jnp.int8:
+    """f32 dequantized view: f32/bf16 pass-through, int8 × row scale, packed
+    int4 (uint8 nibbles) unpack-then-scale. Output width is the LOGICAL dim
+    (2x the stored width for int4)."""
+    if rows.dtype == jnp.uint8:  # packed int4 (dense_index.quantize_rows_int4)
+        from .dense_index import unpack_int4
+
+        lo, hi = unpack_int4(rows)
+        r = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    else:
+        r = rows.astype(jnp.float32)
+    if scales is not None and rows.dtype in (jnp.int8, jnp.uint8):
         r = r * scales[:, None]
     return r
 
@@ -68,6 +79,7 @@ def kmeans_assign(
     Deterministic: strided initialization, no RNG.
     """
     n, d = rows.shape
+    d_logical = d * 2 if rows.dtype == jnp.uint8 else d  # int4 packs 2 cols/byte
     n_pad = ((n + block - 1) // block) * block
     rows_p = jnp.pad(rows, ((0, n_pad - n), (0, 0)))
     scales_p = (
@@ -102,7 +114,10 @@ def kmeans_assign(
 
         acc, cnt = jax.lax.fori_loop(
             0, n_blocks, body,
-            (jnp.zeros((n_clusters, d), jnp.float32), jnp.zeros((n_clusters,), jnp.float32)),
+            (
+                jnp.zeros((n_clusters, d_logical), jnp.float32),
+                jnp.zeros((n_clusters,), jnp.float32),
+            ),
         )
         new = acc / jnp.maximum(cnt[:, None], 1.0)
         norm = jnp.linalg.norm(new, axis=1, keepdims=True)
@@ -152,9 +167,8 @@ def ivf_build_local(
     rows_r = rows[perm]
     scales_r = scales[perm] if scales is not None else None
     perm = jnp.where(valid[perm], perm, jnp.int32(n))  # dead slots -> sentinel
-    blocks = _dequant_f32(
-        rows_r, scales_r
-    ).reshape(n // w, w, d)
+    deq = _dequant_f32(rows_r, scales_r)  # logical dim (2x stored width for int4)
+    blocks = deq.reshape(n // w, w, deq.shape[1])
     alive = (perm < n).reshape(n // w, w, 1).astype(jnp.float32)
     cent = (blocks * alive).sum(axis=1) / jnp.maximum(alive.sum(axis=1), 1.0)
     return rows_r, scales_r, perm, cent
@@ -189,8 +203,8 @@ def ivf_topk_local(
             start = c * w
             r = jax.lax.dynamic_slice(rows_r, (start, 0), (w, d))
             ids = jax.lax.dynamic_slice(perm, (start,), (w,))
-            s = r.astype(jnp.float32) @ q
-            if scales_r is not None and rows_r.dtype == jnp.int8:
+            s = _dequant_f32(r, None) @ q  # int4 windows unpack here (w x D, tiny)
+            if scales_r is not None and rows_r.dtype in (jnp.int8, jnp.uint8):
                 sc = jax.lax.dynamic_slice(scales_r, (start,), (w,))
                 s = s * sc
             ok = ids < n

@@ -221,7 +221,6 @@ class ShardedEngine:
             cfg.semantic_backend == "ivf"
             and dx is not None
             and cfg.semantic_enabled
-            and not dx.is_int4  # packed nibbles stay on the exact blocked path
         )
         if self.ivf_mode:
             self.ivf_w = max(1, cfg.ivf_block_rows)
@@ -319,7 +318,7 @@ class ShardedEngine:
             from ..index.ivf import ivf_build_local
 
             w = self.ivf_w
-            use_scales = self._use_int8
+            use_scales = self._use_int8 or self._use_int4
 
             def build(rows, scales, valid):
                 r, sc, perm, cent = ivf_build_local(
@@ -629,7 +628,7 @@ class ShardedEngine:
 
                 d_ids, d_vals = ivf_topk_local(
                     embeddings,
-                    dense_scales if use_int8 else None,
+                    dense_scales if (use_int8 or use_int4) else None,
                     ivf_perm, ivf_centroids, q_vec,
                     probes=cfg.ivf_probes, top_k=k_sem,
                     row_mask=batch_row_mask(),
