@@ -69,7 +69,7 @@ def kmeans_assign(
     *,
     n_clusters: int,
     iters: int = 8,
-    block: int = 65536,
+    block: int = 16384,
 ) -> jax.Array:
     """Spherical k-means cluster assignment i32[n] (invalid rows -> n_clusters).
 
@@ -106,11 +106,17 @@ def kmeans_assign(
             v = jax.lax.dynamic_slice(valid_p, (i * block,), (block,))
             rf = _dequant_f32(r, s)
             a = jnp.argmax(rf @ cent.T, axis=1)  # [block]
+            # one-hot in bf16, f32 accumulate: the [block, C] transient at 8M-scale
+            # shapes (block 16k x C 4k) stays ~128 MB instead of gigabytes
             onehot = (
-                jax.nn.one_hot(a, n_clusters, dtype=jnp.float32)
-                * v[:, None].astype(jnp.float32)
+                jax.nn.one_hot(a, n_clusters, dtype=jnp.bfloat16)
+                * v[:, None].astype(jnp.bfloat16)
             )
-            return acc + onehot.T @ rf, cnt + onehot.sum(axis=0)
+            acc = acc + jnp.dot(
+                onehot.T, rf.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, cnt + onehot.astype(jnp.float32).sum(axis=0)
 
         acc, cnt = jax.lax.fori_loop(
             0, n_blocks, body,
@@ -160,7 +166,10 @@ def ivf_build_local(
     n, d = rows.shape
     w = block_rows
     assert n % w == 0, (n, w)
-    C = n_clusters or max(n // w, 1)
+    # auto cluster count: one per block, capped at 4096 — beyond that the k-means
+    # assign/update transients dominate build HBM while block centroids already
+    # saturate probe granularity (several blocks per cluster share a mean)
+    C = n_clusters or max(min(n // w, 4096), 1)
     assign = kmeans_assign(rows, scales, valid, n_clusters=C, iters=iters)
     # stable cluster-major order; within a cluster, ascending original row
     perm = jnp.argsort(assign, stable=True).astype(jnp.int32)
