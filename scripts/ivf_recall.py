@@ -71,7 +71,11 @@ def main() -> int:
         return metrics, ids, elapsed, eng
 
     exact_metrics, exact_ids, exact_s, eng0 = run(base)
-    n_blocks_per_shard = eng0.n_loc // args.block
+    # the IVF engine rounds capacity UP to a whole number of blocks per shard;
+    # mirror that so probes=0 genuinely covers every block
+    unit = eng0.n_shards * args.block
+    n_pad_ivf = ((eng0.n_pad + unit - 1) // unit) * unit
+    n_blocks_per_shard = n_pad_ivf // eng0.n_shards // args.block
     rows = {"exact": {**exact_metrics, "elapsed_s": round(exact_s, 1)}}
     print(f"exact: recall@10={exact_metrics['recall@10']:.3f} "
           f"({n_blocks_per_shard} blocks/shard at w={args.block})", file=sys.stderr)

@@ -346,3 +346,32 @@ def test_graph_backend_auto_policy(cfg):
     c3 = cfg.replace(graph_mention_cap=1)
     eng3 = ShardedEngine(Retriever(corpus, c3, graph_index=gidx), corpus_mesh())
     assert eng3.graph_mode == "dense"
+
+
+def test_retrieve_batch_retries_numpy_prep_on_device_failure(cfg):
+    """An async device failure surfacing at device_get must trigger ONE retry
+    through the numpy prep path (fail-soft ladder), then restore the fast path."""
+    from triple_hybrid_rag_tpu.models.encoder import EncoderConfig, EncoderEmbedder
+
+    tiny = EncoderConfig(
+        vocab_buckets=512, d_model=32, n_layers=1, n_heads=4, d_mlp=64,
+        max_tokens=16, out_dim=64, token_dim=16, dtype="float32",
+    )
+    corpus, _ = build_fixture(cfg, n_docs=4, with_graph=False)
+    eng = ShardedEngine(
+        Retriever(corpus, cfg, embedder=EncoderEmbedder(tiny, cfg)), corpus_mesh()
+    )
+    calls = {"n": 0}
+    orig = eng.search_arrays
+
+    def flaky(queries, collections=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and eng.device_query_encode:
+            raise RuntimeError("simulated async device failure")
+        return orig(queries, collections)
+
+    eng.search_arrays = flaky
+    out = eng.retrieve_batch(["payment invoice settlement"])
+    assert calls["n"] == 2
+    assert out[0].results
+    assert eng.device_query_encode is True  # fast path restored after the retry

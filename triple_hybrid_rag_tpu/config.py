@@ -145,7 +145,10 @@ class RAGConfig:
     # answer to pgvector's HNSW (which is also approximate). Wins when
     # compute/latency matters more than the last recall points: probing
     # ivf_probes of n_loc/ivf_block_rows blocks cuts dense compute and HBM
-    # reads by that ratio. int4-packed rows stay on the exact path.
+    # reads by that ratio. All row dtypes supported (int4 windows unpack on
+    # the fly); full probing reproduces the exact backend's results bit-for-bit
+    # for f32 rows — quantized dtypes score in dequantized f32 here vs int8
+    # MXU dots there, so scores (not ranks, in practice) can differ slightly.
     semantic_backend: str = "exact"  # "exact" | "ivf"
     ivf_block_rows: int = 512  # rows per probe block (fixed width: no imbalance)
     ivf_probes: int = 32  # blocks scanned per query (>= n_blocks -> exact, tested)

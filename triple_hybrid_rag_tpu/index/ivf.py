@@ -21,7 +21,10 @@ control flow, scalar gathers, unbounded loop trips. The TPU-native equivalent is
 4. a query scores all block centroids (one tiny matvec), probes the top ``p``
    blocks, scores their rows exactly, and top-k's the candidates with the same
    (score desc, id asc) tie-break as the exact path — so ``p = n_blocks``
-   reproduces exact-scan results bit-for-bit (tested).
+   reproduces exact-scan results bit-for-bit for f32 rows (tested end-to-end).
+   Quantized dtypes score in *dequantized f32* here (the exact backends use
+   bf16 matmuls / int8 MXU dots), so full-probe scores can differ in low bits
+   — ids match the dequantized-oracle ranking exactly (tested).
 
 Recall/compute trade: probing ``p`` of ``W`` blocks scans ``p*w`` of ``n`` rows
 (compute and HBM reads drop by ``W/p``); k-means locality makes the probed rows
@@ -88,9 +91,13 @@ def kmeans_assign(
     valid_p = jnp.pad(valid, (0, n_pad - n))
     n_blocks = n_pad // block
 
-    # strided init over (hopefully shuffled-enough) row order; renormalized
-    stride = max(n // n_clusters, 1)
-    init_idx = (jnp.arange(n_clusters) * stride) % max(n, 1)
+    # strided init over VALID rows only (a zero padding row would become a zero
+    # centroid that never captures mass — silently fewer effective clusters on
+    # corpora with a large padded tail); renormalized
+    valid_pos = jnp.nonzero(valid, size=n, fill_value=0)[0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    stride = jnp.maximum(n_valid // n_clusters, 1)
+    init_idx = valid_pos[(jnp.arange(n_clusters) * stride) % n_valid]
     cent = _dequant_f32(rows[init_idx], scales[init_idx] if scales is not None else None)
     cent = cent / jnp.maximum(jnp.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
 
@@ -197,7 +204,8 @@ def ivf_topk_local(
     """Probed top-k over block-IVF layout. Returns (ids i32[B, k] ORIGINAL local
     rows, scores f32[B, k]) with -1 / -inf invalid slots; tie-break
     (score desc, original id asc) — identical to the exact path, so
-    ``probes >= W`` reproduces it bit-for-bit."""
+    ``probes >= W`` reproduces it bit-for-bit for f32 rows (see module
+    docstring for the quantized-dtype score caveat)."""
     n, d = rows_r.shape
     wn = centroids.shape[0]
     w = n // wn

@@ -372,17 +372,21 @@ class ShardedEngine:
                     bound += reach
                 bound = min(cfg.graph_max_seeds * bound, gx.e_pad)
                 a_slots = min(bound, cfg.graph_active_slots)
-                g_off, g_len, g_docs, l_max_g, truncated = _shard_mentions(
-                    ce_host, self.n_loc, s, gx.e_pad, cfg.graph_mention_cap
-                )
-                exact = (not truncated) and bound <= cfg.graph_active_slots
-                if backend == "sparse" or exact:
-                    self.graph_mode = "sparse"
-                    self.graph_active = a_slots
-                    self.g_l_max = l_max_g
-                    self.g_offsets = shard_stacked(g_off, 2)
-                    self.g_lengths = shard_stacked(g_len, 2)
-                    self.g_docs = shard_stacked(g_docs, 2)
+                # cheap slot-budget check FIRST: under "auto", a high-degree
+                # graph falls back to dense without paying the mention-CSR
+                # build (host lexsort over N*M pairs) it would only discard
+                if backend == "sparse" or bound <= cfg.graph_active_slots:
+                    g_off, g_len, g_docs, l_max_g, truncated = _shard_mentions(
+                        ce_host, self.n_loc, s, gx.e_pad, cfg.graph_mention_cap
+                    )
+                    exact = (not truncated) and bound <= cfg.graph_active_slots
+                    if backend == "sparse" or exact:
+                        self.graph_mode = "sparse"
+                        self.graph_active = a_slots
+                        self.g_l_max = l_max_g
+                        self.g_offsets = shard_stacked(g_off, 2)
+                        self.g_lengths = shard_stacked(g_len, 2)
+                        self.g_docs = shard_stacked(g_docs, 2)
             if self.graph_mode != "sparse":
                 self.graph_mode = "dense"
                 self.chunk_entities = shard_rows(gx.chunk_entities, 2)
@@ -1024,16 +1028,28 @@ class ShardedEngine:
             padded.append(queries[0])
             colls.append(colls[0] if colls else None)
         t0 = time.perf_counter()
-        plans, (ids, scores, refused, max_score, fused, rerank) = self.search_arrays(
-            padded, colls
-        )
+        try:
+            plans, out = self.search_arrays(padded, colls)
+            # ONE device_get of every output array (a single device->host
+            # transfer RPC instead of ~10 per query: over the tunneled dev chip
+            # each np.asarray(x[i]) fetch pays the ~25 ms round-trip floor)
+            ids, scores, refused, max_score, fused, rerank = jax.device_get(out)
+        except Exception:
+            # Device-encode failures are ASYNC (the encoder dispatch returns
+            # before executing), so they surface here, not inside
+            # prepare_queries' fail-soft try. Retry once through the numpy prep
+            # path, whose synchronous embed failure degrades to zero vectors —
+            # preserving the documented lexical+graph fail-soft ladder.
+            if not self.device_query_encode:
+                raise
+            prev = self.device_query_encode
+            self.device_query_encode = False
+            try:
+                plans, out = self.search_arrays(padded, colls)
+                ids, scores, refused, max_score, fused, rerank = jax.device_get(out)
+            finally:
+                self.device_query_encode = prev
         queries, plans = queries[:n_real], plans[:n_real]
-        # ONE device_get of every output array (a single device->host transfer
-        # RPC instead of ~10 per query: over the tunneled dev chip each
-        # np.asarray(x[i]) fetch pays the ~25 ms round-trip floor)
-        ids, scores, refused, max_score, fused, rerank = jax.device_get(
-            (ids, scores, refused, max_score, fused, rerank)
-        )
         dispatch_ms = (time.perf_counter() - t0) * 1e3
 
         out: List[RetrievalResult] = []

@@ -393,10 +393,12 @@ def make_handler(server_state: RAGServer):
             tok = server_state.auth_token
             if not tok:
                 return True
+            import hmac  # constant-time compare: str == leaks prefix via timing
+
             auth = self.headers.get("Authorization", "")
-            if auth == f"Bearer {tok}":
+            if hmac.compare_digest(auth, f"Bearer {tok}"):
                 return True
-            return self.headers.get("X-API-Key", "") == tok
+            return hmac.compare_digest(self.headers.get("X-API-Key", ""), tok)
 
         def _send(self, code: int, payload, content_type="application/json"):
             body = (
