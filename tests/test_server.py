@@ -157,7 +157,7 @@ def test_concurrent_queries(server):
     assert all("results" in body for _, body in results)
 
 
-def _engine_server(cfg, n_docs=24):
+def _engine_server(cfg, n_docs=24, window=0.02):
     rag = RAG(config=cfg, use_sharded_engine=True)
     topics = ["payments invoices billing", "wildlife foxes forest", "quantum computing qubits"]
     for i in range(n_docs):
@@ -165,7 +165,7 @@ def _engine_server(cfg, n_docs=24):
             f"# Doc {i}\n\nDocument {i} covers {topics[i % 3]} with detail {i}.",
             name=f"d{i}.md",
         )
-    httpd = serve(host="127.0.0.1", port=0, rag=rag, batch_window_s=0.02)
+    httpd = serve(host="127.0.0.1", port=0, rag=rag, batch_window_s=window)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -178,7 +178,10 @@ def test_microbatching_coalesces_concurrent_queries(cfg):
 
     from triple_hybrid_rag_tpu.observability import rag_metrics
 
-    httpd, base = _engine_server(cfg)
+    # generous window: on a starved single-core box requests trickle in tens of
+    # ms apart, and the default 20 ms window legitimately stops coalescing them
+    # (observed flake); the assertion targets the batching LOGIC, not the box
+    httpd, base = _engine_server(cfg, window=0.25)
     state = httpd.rag_state
     try:
         # warm the compile (first dispatch is slow) before concurrency
