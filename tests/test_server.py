@@ -323,3 +323,46 @@ def test_auth_token_gate(cfg):
         assert e.value.code == 401
     finally:
         httpd.shutdown()
+
+
+def test_malformed_payload_fuzz(server):
+    """Adversarial request bodies: every response is a clean 4xx/200 JSON, the
+    server survives and keeps answering."""
+    import random
+
+    rng = random.Random(5)
+    weird = [
+        {"query": 42},
+        {"query": None},
+        {"query": ["a", "b"]},
+        {"query": "x", "top_k": "ten"},
+        {"query": "x", "top_k": -3},
+        {"query": "x", "collection": 7},
+        {"query": "\x00\x01\x02"},
+        {"query": "a" * 100_000},
+        {"unexpected": {"deeply": {"nested": [1, 2, 3]}}},
+        [1, 2, 3],
+        "just a string",
+        {"query": "ok", "extra": float("inf")} if False else {"query": "ok", "extra": 1e308},
+    ]
+    for payload in weird:
+        try:
+            status, body = _post(server + "/query", payload)
+        except Exception as e:  # non-JSON error body would surface here
+            raise AssertionError(f"server crashed the connection on {payload!r}: {e}")
+        assert status in (200, 400, 500), (payload, status)
+        assert isinstance(body, dict)
+    # raw non-JSON bytes -> 400
+    req = urllib.request.Request(
+        server + "/query", data=b"\x89PNG\r\n not json",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    # server still healthy afterwards
+    status, body = _post(server + "/query", {"query": "foxes forest"})
+    assert status == 200

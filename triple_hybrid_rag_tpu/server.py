@@ -250,7 +250,12 @@ class RAGServer:
         if not isinstance(query, str) or not query.strip():
             raise ValueError("missing 'query'")
         top_k = payload.get("top_k")
+        if top_k is not None:
+            if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k <= 0:
+                raise ValueError("'top_k' must be a positive integer")
         collection = payload.get("collection")
+        if collection is not None and not isinstance(collection, str):
+            raise ValueError("'collection' must be a string")
         qid = f"q{int(time.time() * 1e6):x}"
         tracer.query_begin(qid, query)
         with rag_metrics.time("server_query_ms"):
@@ -435,8 +440,15 @@ def make_handler(server_state: RAGServer):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-            except json.JSONDecodeError:
+            except (ValueError, UnicodeDecodeError):
+                # ValueError covers json.JSONDecodeError AND a bogus
+                # Content-Length; non-UTF-8 bytes raise UnicodeDecodeError —
+                # uncaught, any of these killed the handler thread and closed
+                # the connection with no response (found by payload fuzz)
                 self._send(400, {"error": "invalid JSON body"})
+                return
+            if not isinstance(payload, dict):
+                self._send(400, {"error": "body must be a JSON object"})
                 return
             try:
                 if self.path == "/query":
