@@ -62,6 +62,7 @@ def small_config():
         # hash embedder keeps unit-test compiles tiny; the packaged trained encoder
         # ("auto" default) gets its own dedicated tests (test_pretrain.py)
         embedder_backend="bowhash",
+        ner_retry_sleep_cap_s=0.01,  # retry-ladder tests must not sleep for real
     )
 
 

@@ -132,3 +132,26 @@ def test_scoped_graph_sparse_matches_dense(small_config):
     assert outs["sparse"] == outs["dense"]
     # each scope only surfaces its own tenant
     # (ids differ across RAG instances' random hashes? no — content-hash stable)
+
+
+def test_same_content_two_collections_both_retrievable(small_config):
+    """Identical bytes ingested under two collections must exist for BOTH tenants
+    (reference unique (org_id, hash): per-org idempotency, not global). Regression:
+    global dedup silently dropped tenant B's copy."""
+    cfg = small_config.replace(
+        graph_enabled=False, embedding_dtype="float32", safety_threshold=0.0,
+        denoise_enabled=False,
+    )
+    r = RAG(config=cfg)
+    text = "Payment invoices settle within thirty days of billing."
+    res_a = r.ingest_text(text, name="pay.md", collection="tenant_a")
+    res_b = r.ingest_text(text, name="pay.md", collection="tenant_b")
+    assert not res_a.skipped and not res_b.skipped
+    assert res_a.doc_id != res_b.doc_id  # distinct per-tenant documents
+    for coll in ("tenant_a", "tenant_b"):
+        out = r.query("payment invoices settle", collection=coll)
+        assert out.results, coll
+        assert "invoice" in out.results[0].text.lower()
+    # same collection re-ingest IS still idempotent
+    res_a2 = r.ingest_text(text, name="pay.md", collection="tenant_a")
+    assert res_a2.skipped

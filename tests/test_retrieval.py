@@ -166,3 +166,62 @@ def test_rerank_disabled_uses_rrf(cfg):
     # final scores equal rrf scores when rerank+gates disabled
     for res in r.results:
         assert res.final_score == pytest.approx(res.rrf_score, rel=1e-5)
+
+
+def test_module_level_retrieve_accepts_collection(small_config):
+    """retrieve(corpus, q, collection=...) routes collection to the QUERY, not
+    Retriever.__init__ (regression: TypeError)."""
+    import hashlib
+
+    from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+    from triple_hybrid_rag_tpu.retrieval import retrieve
+    from triple_hybrid_rag_tpu.types import Document, IngestionStatus
+
+    cfg = small_config.replace(
+        graph_enabled=False, embedding_dtype="float32", safety_threshold=0.0
+    )
+    corpus = CorpusStore()
+    chunker = HierarchicalChunker(cfg)
+    doc_id = hashlib.sha256(b"d").hexdigest()
+    corpus.register_document(Document(
+        doc_id=doc_id, filename="d.md", collection="sales",
+        status=IngestionStatus.COMPLETED,
+    ))
+    p, c = chunker.chunk_document("Invoices settle in thirty days.", doc_id)
+    corpus.add_chunks(p, c)
+    r = retrieve(corpus, "invoices settle", top_k=3, collection="sales", config=cfg)
+    assert r.results
+    r2 = retrieve(corpus, "invoices settle", collection="other", config=cfg)
+    assert r2.refused or not r2.results
+
+
+def test_dot_reranker_parent_embeddings_dequantized(small_config):
+    """int8 dense rows + dot rerank: parent embeddings must be dequantized unit
+    vectors (regression: raw-int mean cast back to int8 collapsed every rerank
+    score to the 0.5 neutral point and the gate refused everything)."""
+    import hashlib
+
+    from triple_hybrid_rag_tpu.chunker import HierarchicalChunker
+
+    cfg = small_config.replace(
+        graph_enabled=False, embedding_dtype="int8", rerank_backend="dot",
+        safety_threshold=0.2, denoise_enabled=False,
+    )
+    corpus = CorpusStore()
+    chunker = HierarchicalChunker(cfg)
+    for i, t in enumerate([
+        "Payment invoices settle in thirty days.",
+        "Foxes live in the northern forest.",
+    ]):
+        p, c = chunker.chunk_document(t, hashlib.sha256(str(i).encode()).hexdigest())
+        corpus.add_chunks(p, c)
+    ret = Retriever(corpus, cfg)
+    import jax.numpy as jnp
+
+    emb = ret.reranker.parent_embeddings
+    assert emb is not None and emb.dtype == jnp.float32
+    norms = np.linalg.norm(np.asarray(emb)[: corpus.n_parents], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=5e-2)  # unit-ish, NOT zero
+    r = ret.retrieve("payment invoices settle")
+    assert r.results and not r.refused
+    assert r.results[0].rerank_score is not None and r.results[0].rerank_score > 0.5

@@ -63,6 +63,9 @@ class RAGConfig:
     safety_enabled: bool = True
     conformal_denoise_enabled: bool = False  # standalone-lib percentile variant (fusion.py:218)
     ner_enabled: bool = True
+    # NER retry backoff sleep cap (exp backoff 2s->10s, reference tenacity ladder
+    # rag2/ingest.py:466-472); test configs shrink it so retry tests stay fast
+    ner_retry_sleep_cap_s: float = 10.0
 
     # ---- RRF fusion (reference fusion.py:22, retrieval.py:358-376) ----
     rrf_k: int = 60

@@ -40,7 +40,11 @@ class CorpusStore:
         self.children: List[ChildChunk] = []
         self._parent_row: Dict[str, int] = {}
         self._child_row: Dict[str, int] = {}
-        self._child_hashes: Dict[str, str] = {}  # content hash -> chunk_id (dedup)
+        # (collection, content hash) -> chunk_id: dedup is PER COLLECTION, like
+        # the reference's unique (org_id, content_hash) index (20260114_rag2_schema
+        # :155-156) — global dedup silently dropped tenant B's copy of content
+        # tenant A already had, making it unretrievable under B's row mask
+        self._child_hashes: Dict[tuple, str] = {}
         self._dirty: bool = False  # device indexes stale?
 
     # ------------------------------------------------------------------
@@ -86,14 +90,16 @@ class CorpusStore:
             if c.chunk_id in self._child_row:
                 res.deduped_children += 1
                 continue
-            if dedup and c.hash in self._child_hashes:
+            doc = self.documents.get(c.doc_id)
+            hkey = (doc.collection if doc else None, c.hash)
+            if dedup and hkey in self._child_hashes:
                 res.deduped_children += 1
                 continue
             if c.parent_id not in self._parent_row:
                 raise KeyError(f"child {c.chunk_id} references unknown parent {c.parent_id}")
             c.row = len(self.children)
             self._child_row[c.chunk_id] = c.row
-            self._child_hashes[c.hash] = c.chunk_id
+            self._child_hashes[hkey] = c.chunk_id
             self.children.append(c)
             res.added_children += 1
         if res.added_parents or res.added_children:
@@ -206,7 +212,8 @@ class CorpusStore:
         for c in state["children"]:
             c.row = len(store.children)
             store._child_row[c.chunk_id] = c.row
-            store._child_hashes[c.hash] = c.chunk_id
+            doc = store.documents.get(c.doc_id)
+            store._child_hashes[(doc.collection if doc else None, c.hash)] = c.chunk_id
             store.children.append(c)
         store._dirty = True
         return store

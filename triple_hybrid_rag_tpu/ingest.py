@@ -116,11 +116,18 @@ class Ingestor:
             if progress:
                 progress(stage, frac)
 
-        # 1-2: hash + idempotency
+        # 1-2: hash + idempotency. The key is (collection, content hash) like the
+        # reference's unique (org_id, hash_sha256) (rag2/ingest.py:204-222): the same
+        # bytes ingested under a second collection become a DISTINCT document with a
+        # collection-scoped id — previously they were silently skipped and tenant B
+        # could never retrieve them.
         t0 = time.perf_counter()
         doc_id = hash_file(path)
         timings["hash_ms"] = (time.perf_counter() - t0) * 1e3
         existing = self.corpus.documents.get(doc_id)
+        if existing is not None and existing.collection != collection:
+            doc_id = hashlib.sha256(f"{collection}:{doc_id}".encode()).hexdigest()
+            existing = self.corpus.documents.get(doc_id)
         if existing is not None and existing.status == IngestionStatus.COMPLETED and not force:
             rag_metrics.counter("ingest_skipped_total").inc()
             return IngestionResult(
@@ -238,6 +245,9 @@ class Ingestor:
         try:
             res = self.ingest_file(tmp, collection=collection, force=force)
             res.filename = name
+            doc = self.corpus.documents.get(res.doc_id)
+            if doc is not None and not res.skipped:
+                doc.filename = name  # not the randomized temp-file name
             return res
         finally:
             os.unlink(tmp)
@@ -272,6 +282,7 @@ class Ingestor:
                 cached = None  # config changed or corpus rebuilt: full build
             if cached is not None:
                 new_children = self.corpus.children[cached.n_docs :]
+                self._backfill_embeddings(new_children)
                 new_vecs = np.zeros((len(new_children), dim_full), np.float32)
                 for i, c in enumerate(new_children):
                     v = self.embeddings.get(c.chunk_id)
@@ -279,6 +290,7 @@ class Ingestor:
                         new_vecs[i] = v
                 dense = cached.append(new_vecs)
             else:
+                self._backfill_embeddings(self.corpus.children)
                 vecs = np.zeros((len(self.corpus), dim_full), np.float32)
                 for c in self.corpus.children:
                     v = self.embeddings.get(c.chunk_id)
@@ -291,6 +303,24 @@ class Ingestor:
             graph = build_graph_index(self.entity_store, self.corpus, cfg)
         self.corpus.mark_clean()
         return bm25, dense, graph
+
+    def _backfill_embeddings(self, children) -> None:
+        """Embed chunks this Ingestor never embedded itself (a pre-populated or
+        restored corpus passed into the constructor): without this, build_indexes
+        silently left ZERO vectors for every pre-existing chunk and the semantic
+        channel could not see old content. Fail-soft: an embed failure leaves the
+        zero rows (lexical/graph still answer)."""
+        missing = [c for c in children if c.chunk_id not in self.embeddings]
+        if not missing:
+            return
+        try:
+            vecs = np.asarray(
+                self.embedder.embed_texts([c.text for c in missing]), np.float32
+            )
+        except Exception:
+            return
+        for c, v in zip(missing, vecs):
+            self.embeddings[c.chunk_id] = v
 
     def make_retriever(self, **kwargs):
         """Corpus -> ready Retriever (indexes built from this ingestor's state)."""
@@ -326,8 +356,10 @@ class Ingestor:
                 result = self.extractor.extract(parent, children)
                 return self.entity_store.store_extraction(result)
             except Exception:
+                # exponential backoff 2s -> 10s (reference tenacity ladder,
+                # rag2/ingest.py:466-472); the cap is config so unit tests run fast
                 delay = min(2.0 * (2**attempt), 10.0)
                 if attempt + 1 < self.ner_retries:
-                    time.sleep(min(delay, 0.05))  # bounded backoff (tests stay fast)
+                    time.sleep(min(delay, self.config.ner_retry_sleep_cap_s))
         rag_metrics.counter("ner_failed_parents_total").inc()
         return None

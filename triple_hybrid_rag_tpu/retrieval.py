@@ -15,8 +15,8 @@ Reimplements ``RAG2Retriever.retrieve()``
 Per-stage wall-clock timings are recorded in ``RetrievalResult.timings`` exactly like the
 reference (retrieval.py:139-191 -> ``timings_ms`` in tool responses). The reference's stages
 each cross a process boundary (OpenAI / Postgres / vLLM); here stages 2-6 are device
-dispatches, and :meth:`Retriever.compiled_search` additionally fuses them into a SINGLE
-jitted program so a production query pays one host->device round trip.
+dispatches, and :class:`~triple_hybrid_rag_tpu.parallel.engine.ShardedEngine` fuses them
+into a SINGLE jitted program so a production query pays one host->device round trip.
 """
 
 from __future__ import annotations
@@ -52,6 +52,17 @@ from .types import QueryPlan, RetrievalResult, SearchResult
 _EMPTY_CHANNEL_K = 1  # width of the placeholder arrays for disabled channels
 
 
+def _parent_of_table(corpus: CorpusStore, config: RAGConfig) -> jax.Array:
+    """child row -> parent row gather table, capacity-padded (shared by __init__
+    and the checkpoint-restore path so the two can never diverge)."""
+    n_pad = config.round_capacity(max(len(corpus), 1))
+    parent_of = np.zeros((n_pad,), np.int32)
+    rows = corpus.parent_rows()
+    if rows:
+        parent_of[: len(rows)] = rows
+    return jnp.asarray(parent_of)
+
+
 # Soft query-token weights for the MaxSim gate. The analyzer already removes hard
 # stopwords; what remains are content-light "function" verbs/fillers ("get",
 # "tell", "explain") that rarely match any document token and drag the MaxSim
@@ -71,15 +82,41 @@ _FUNCTION_WORDS = frozenset(
 )
 FUNCTION_WORD_WEIGHT = 0.25
 
+_FW_PROCESSED: dict = {}
+
+
+def _function_words(analyzer: Analyzer) -> frozenset:
+    """The function-word list in the ANALYZER'S token space (cached per config).
+
+    Query tokens arrive stemmed/folded by ``analyzer.tokenize`` (e.g. light
+    S-stemming turns "quis" into "qui"), so matching raw surface forms silently
+    dead-lists every entry the stemmer rewrites — re-exposing the false-refusal
+    failure this weighting exists to fix. Processing the list through the same
+    analyzer keeps both spaces covered."""
+    key = (
+        analyzer.config.analyzer_stemming,
+        analyzer.config.analyzer_strip_accents,
+        analyzer.config.analyzer_min_token_len,
+    )
+    fw = _FW_PROCESSED.get(key)
+    if fw is None:
+        out = set(_FUNCTION_WORDS)
+        for word in _FUNCTION_WORDS:
+            out.update(analyzer.tokenize(word))
+        fw = frozenset(out)
+        _FW_PROCESSED[key] = fw
+    return fw
+
 
 def maxsim_query_weights(text: str, analyzer: Analyzer, max_tokens: int) -> np.ndarray:
     """f32[max_tokens] per-query-token MaxSim weights (0 = padding slot).
 
     Positions align with ``token_embeddings(...)`` output: both sides run the
     same ``analyzer.tokenize`` truncated to the same width."""
+    fw = _function_words(analyzer)
     w = np.zeros((max_tokens,), np.float32)
     for j, t in enumerate(analyzer.tokenize(text)[:max_tokens]):
-        w[j] = FUNCTION_WORD_WEIGHT if t in _FUNCTION_WORDS else 1.0
+        w[j] = FUNCTION_WORD_WEIGHT if t in fw else 1.0
     return w
 
 
@@ -124,18 +161,8 @@ class Retriever:
             self.dense_index = dense_index
 
         # child row -> parent row gather table (device); -1-safe via clip+mask
-        n_pad = self.config.round_capacity(max(len(corpus), 1))
-        parent_of = np.zeros((n_pad,), np.int32)
-        rows = corpus.parent_rows()
-        if rows:
-            parent_of[: len(rows)] = rows
-        self.parent_of = jnp.asarray(parent_of)
-        self._init_collections(n_pad)
-
-        # parent embeddings for the dot-rerank rung (mean of child embeddings)
-        parent_emb = None
-        if self.config.rerank_enabled and self.dense_index is not None:
-            parent_emb = self._build_parent_embeddings()
+        self.parent_of = _parent_of_table(corpus, self.config)
+        self._init_collections(self.parent_of.shape[0])
 
         # MaxSim token store over parent texts (primary rerank backend)
         self.maxsim_index = None
@@ -150,6 +177,18 @@ class Retriever:
             self.maxsim_index = build_maxsim_index(
                 corpus.parent_texts(), self.embedder, self.config
             )
+
+        # parent embeddings for the dot-rerank rung (mean of child embeddings) —
+        # only when that rung can actually be selected (MaxSim absent): building
+        # it under the default maxsim config was pure startup compute + an f32
+        # full-matrix transient that get_reranker immediately dropped
+        parent_emb = None
+        if (
+            self.config.rerank_enabled
+            and self.dense_index is not None
+            and self.maxsim_index is None
+        ):
+            parent_emb = self._build_parent_embeddings()
         self.reranker = reranker or get_reranker(
             self.config,
             parent_embeddings=parent_emb,
@@ -195,15 +234,15 @@ class Retriever:
         if parent_of is not None:
             self.parent_of = jnp.asarray(parent_of)
         else:
-            n_pad = config.round_capacity(max(len(corpus), 1))
-            po = np.zeros((n_pad,), np.int32)
-            rows = corpus.parent_rows()
-            if rows:
-                po[: len(rows)] = rows
-            self.parent_of = jnp.asarray(po)
+            self.parent_of = _parent_of_table(corpus, config)
         self._init_collections(self.parent_of.shape[0])
         parent_emb = None
-        if config.rerank_enabled and dense_index is not None and len(corpus):
+        if (
+            config.rerank_enabled
+            and dense_index is not None
+            and maxsim_index is None
+            and len(corpus)
+        ):
             parent_emb = self._build_parent_embeddings()
         self.reranker = reranker or get_reranker(
             config, parent_embeddings=parent_emb, maxsim_index=maxsim_index,
@@ -446,10 +485,18 @@ class Retriever:
 
     def _build_parent_embeddings(self) -> jax.Array:
         """Parent embedding = L2-normalized mean of its children's embeddings
-        (device-side segment mean; parents inherit their retrieval units' geometry)."""
+        (device-side segment mean; parents inherit their retrieval units' geometry).
+
+        Dequantizes int8/int4 rows first (raw quantized ints averaged and cast
+        back to the storage dtype produced all-zero int8 / wrong-width packed
+        parents — every dot-rerank score collapsed to the 0.5 neutral point and
+        the 0.6 gate refused everything); output stays f32 (tiny: one row per
+        parent)."""
+        from .index.ivf import _dequant_f32
+
         n_parents = max(self.corpus.n_parents, 1)
         p_pad = self.config.round_capacity(n_parents)
-        emb = self.dense_index.embeddings.astype(jnp.float32)
+        emb = _dequant_f32(self.dense_index.embeddings, self.dense_index.scales)
         rows = self.corpus.parent_rows()
         seg = np.full((emb.shape[0],), p_pad - 1, np.int32)
         if rows:
@@ -457,7 +504,7 @@ class Retriever:
         seg_j = jnp.asarray(seg)
         sums = jax.ops.segment_sum(emb, seg_j, num_segments=p_pad)
         norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
-        return (sums / jnp.maximum(norms, 1e-12)).astype(self.dense_index.embeddings.dtype)
+        return sums / jnp.maximum(norms, 1e-12)
 
     def _decode(
         self,
@@ -527,8 +574,16 @@ def decode_results(
     return out
 
 
-def retrieve(corpus: CorpusStore, query: str, **kwargs) -> RetrievalResult:
-    """Convenience one-shot (reference rag2/retrieval.py:497-505)."""
-    return Retriever(corpus, **{k: v for k, v in kwargs.items() if k != "top_k"}).retrieve(
-        query, top_k=kwargs.get("top_k")
-    )
+def retrieve(
+    corpus: CorpusStore,
+    query: str,
+    top_k: Optional[int] = None,
+    collection: Optional[str] = None,
+    **kwargs,
+) -> RetrievalResult:
+    """Convenience one-shot (reference rag2/retrieval.py:497-505).
+
+    ``top_k``/``collection`` go to the query; remaining kwargs construct the
+    Retriever (previously ``collection=`` was forwarded into ``__init__`` and
+    raised TypeError)."""
+    return Retriever(corpus, **kwargs).retrieve(query, top_k=top_k, collection=collection)
