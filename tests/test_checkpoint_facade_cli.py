@@ -189,3 +189,68 @@ def test_cli_migrate_retruncate_and_reembed(cfg, docs_dir, tmp_path, capsys, mon
     mig2 = load_ingestor(dst2)
     r2 = mig2.make_retriever().retrieve("invoice settlement", top_k=2)
     assert r2.results and r2.results[0].chunk_id == result.results[0].chunk_id
+
+
+def test_checkpoint_never_persists_api_key_and_strips_network_fields(cfg, tmp_path):
+    """Secrets must not land in the portable artifact, and an untrusted checkpoint
+    must not be able to redirect model traffic (SSRF/exfil) via its embedded
+    config — network fields are stripped on load unless trust_config=True."""
+    import json
+
+    from triple_hybrid_rag_tpu.facade import RAG
+    from triple_hybrid_rag_tpu.index.checkpoint import load_checkpoint
+
+    c = cfg.replace(
+        api_key="sk-SECRET", embed_api_base="http://evil.example:1/v1",
+        llm_api_base="http://evil.example:2/v1",
+    )
+    rag = RAG(config=c)
+    rag.ingest_text("Invoices settle in thirty days.", name="p.md")
+    d = tmp_path / "ckpt"
+    rag.save(d)
+    manifest = json.loads((d / "manifest.json").read_text())
+    assert "sk-SECRET" not in json.dumps(manifest)
+
+    _, _, _, loaded_cfg = load_checkpoint(d)
+    assert loaded_cfg.embed_api_base == "" and loaded_cfg.llm_api_base == ""
+    assert loaded_cfg.api_key == ""
+    trusted = load_checkpoint(d, trust_config=True)[3]
+    assert trusted.embed_api_base == "http://evil.example:1/v1"
+
+
+def test_checkpoint_save_failure_preserves_previous(cfg, tmp_path):
+    """A save that dies mid-write must leave the PREVIOUS checkpoint loadable
+    (temp-then-rename per artifact; manifest written last)."""
+    from triple_hybrid_rag_tpu.facade import RAG
+    from triple_hybrid_rag_tpu.index.checkpoint import load_checkpoint, save_checkpoint
+
+    rag = RAG(config=cfg)
+    rag.ingest_text("Invoices settle in thirty days.", name="p.md")
+    d = tmp_path / "ckpt"
+    rag.save(d)
+
+    # second save crashes during corpus serialization (un-JSONable metadata)
+    rag.ingest_text("Foxes live in the forest.", name="f.md")
+    rag.ingestor.corpus.children[0].metadata["bad"] = object()
+    with pytest.raises(TypeError):
+        save_checkpoint(d, rag.ingestor.corpus, rag.ingestor.entity_store,
+                        rag.ingestor.embeddings, cfg)
+    # the original checkpoint still verifies and loads
+    corpus, _, _, _ = load_checkpoint(d)
+    assert len(corpus.children) >= 1
+
+
+def test_checkpoint_numpy_metadata_roundtrips(cfg, tmp_path):
+    """numpy scalars in user metadata serialize (v1 pickle accepted them)."""
+    import numpy as np
+
+    from triple_hybrid_rag_tpu.facade import RAG
+    from triple_hybrid_rag_tpu.index.checkpoint import load_checkpoint
+
+    rag = RAG(config=cfg)
+    rag.ingest_text("Invoices settle in thirty days.", name="p.md")
+    rag.ingestor.corpus.children[0].metadata["score"] = np.float32(0.5)
+    d = tmp_path / "ckpt2"
+    rag.save(d)
+    corpus, _, _, _ = load_checkpoint(d)
+    assert abs(corpus.children[0].metadata["score"] - 0.5) < 1e-6

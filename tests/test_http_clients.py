@@ -49,6 +49,7 @@ class StubModelServer:
         self.fail_status = 500
         self.native_rerank = True  # False -> /rerank answers 404
         self.embed_dim = DIM
+        self.drop_embed_indices: set = set()  # omit these rows from /embeddings
         self.chat_text_mode = False  # chat answers plain yes/no without logprobs
         outer = self
 
@@ -100,6 +101,8 @@ class StubModelServer:
             inputs = [inputs]
         data = []
         for i, item in enumerate(inputs):
+            if i in self.drop_embed_indices:
+                continue  # some servers omit rows that failed (over-long inputs)
             key = item if isinstance(item, str) else json.dumps(item, sort_keys=True)
             data.append(
                 {"index": i, "embedding": _stub_vec(key, self.embed_dim), "object": "embedding"}
@@ -463,3 +466,17 @@ def test_rag_facade_survives_dead_model_server(small_config):
     out = rag.query("invoice settlement deadline")
     assert not out.refused and out.results
     assert "Invoices" in out.results[0].text
+
+
+def test_embedder_aligns_by_protocol_index(stub):
+    """A server that OMITS a failed row must not shift later embeddings onto the
+    wrong inputs — rows align by their own 'index' key, the hole stays zero."""
+    from triple_hybrid_rag_tpu.models.http_clients import HTTPEmbedder
+
+    emb = HTTPEmbedder(stub.base, dim=DIM, retries=0)
+    stub.drop_embed_indices = {1}
+    out = emb.embed_texts(["alpha", "beta", "gamma"])
+    stub.drop_embed_indices = set()
+    np.testing.assert_allclose(out[0], _stub_vec("alpha"), rtol=1e-6)
+    np.testing.assert_allclose(out[2], _stub_vec("gamma"), rtol=1e-6)  # NOT beta's
+    assert not np.any(out[1])  # the dropped row stays a zero vector

@@ -183,7 +183,7 @@ def cmd_migrate(args: argparse.Namespace) -> int:
     the full backfill), then writes a fresh verified checkpoint."""
     from .index.checkpoint import load_ingestor, save_ingestor
 
-    ing = load_ingestor(args.src)
+    ing = load_ingestor(args.src, allow_pickle=args.allow_pickle)
     overrides = {}
     if args.dim is not None:
         overrides["embedding_dim"] = args.dim
@@ -192,7 +192,8 @@ def cmd_migrate(args: argparse.Namespace) -> int:
     if args.dtype is not None:
         overrides["embedding_dtype"] = args.dtype
     if overrides:
-        ing = load_ingestor(args.src, config=ing.config.replace(**overrides))
+        ing = load_ingestor(args.src, config=ing.config.replace(**overrides),
+                            allow_pickle=args.allow_pickle)
     n = len(ing.corpus)
     if args.reembed and n:
         texts = [c.text for c in ing.corpus.children]
@@ -316,6 +317,9 @@ def main(argv=None) -> int:
     p.add_argument("--dim-full", type=int, default=None, help="new embedding_dim_full")
     p.add_argument("--dtype", default=None,
                    choices=["bfloat16", "float32", "int8", "int4"])
+    p.add_argument("--allow-pickle", action="store_true",
+                   help="permit loading a legacy v1 (pickle) checkpoint — executes "
+                        "code from the file; only for checkpoints you wrote")
     p.add_argument("--reembed", action="store_true",
                    help="re-embed every chunk text (full backfill, not re-truncation)")
     p.add_argument("--json", action="store_true")

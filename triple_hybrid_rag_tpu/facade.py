@@ -147,11 +147,19 @@ class RAG:
 
     @classmethod
     def load(
-        cls, directory: str | Path, config: Optional[RAGConfig] = None, **kwargs
+        cls, directory: str | Path, config: Optional[RAGConfig] = None,
+        allow_pickle: bool = False, trust_config: bool = False, **kwargs
     ) -> "RAG":
+        """Restore from a checkpoint. ``allow_pickle`` opts into loading legacy v1
+        (pickle) checkpoints; ``trust_config`` keeps the checkpoint's network
+        fields (*_api_base / api_key) instead of stripping them — both only for
+        checkpoints YOU wrote."""
         from .index.checkpoint import load_ingestor
 
-        ing = load_ingestor(directory, config=config)
+        ing = load_ingestor(
+            directory, config=config,
+            allow_pickle=allow_pickle, trust_config=trust_config,
+        )
         rag = cls(config=ing.config, **kwargs)
         rag.ingestor = ing
         return rag

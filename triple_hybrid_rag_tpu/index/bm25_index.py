@@ -94,7 +94,11 @@ class BM25Index:
             if t < 0:
                 continue
             (small if stored_df[t] <= small_w else large).append((int(t), slot))
-        large.sort(key=lambda ts: stored_df[ts[0]])  # keep rarest; drop most common
+        # rank by idf (monotone in TRUE df): under bm25_df_cap every over-cap
+        # term's STORED df ties at the cap, which would degrade "drop the most
+        # common" to query-position order and could drop the rarest terms
+        idf = np.asarray(self.idf)
+        large.sort(key=lambda ts: -float(idf[ts[0]]))  # keep rarest; drop most common
         large = large[:ql_cap]
 
         def pad(pairs, cap):
@@ -199,7 +203,13 @@ def build_bm25_index(
     Uses the C++ fast path (``native.py``) for tokenization + postings assembly when
     available and enabled; otherwise the pure-Python/NumPy build. Both produce
     identical arrays (parity-tested in tests/test_native.py)."""
-    if token_ids is None and vocab is None and config.use_native:
+    # native path only when the STOCK analyzer semantics apply: a custom Analyzer
+    # SUBCLASS (different stopwords/stemming) must tokenize the index itself, or
+    # queries analyzed with it would silently mismatch the index vocabulary. A
+    # stock instance is purely config-derived, which the C++ path mirrors
+    # (parity-tested), so it stays on the fast path.
+    stock_analyzer = analyzer is None or type(analyzer) is Analyzer
+    if token_ids is None and vocab is None and stock_analyzer and config.use_native:
         from .. import native
 
         if native.available():

@@ -60,12 +60,24 @@ FORMAT_VERSION = 2
 def _json_default(obj: Any) -> Any:
     if isinstance(obj, enum.Enum):
         return obj.value
-    raise TypeError(f"not JSON-serializable: {type(obj)!r}")
+    if isinstance(obj, np.generic):  # numpy scalars in user metadata dicts
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    raise TypeError(
+        f"not JSON-serializable: {type(obj)!r} (checkpoint format v2 stores host "
+        "state as JSON; keep chunk/document metadata to JSON types)"
+    )
 
 
 def _dump_json(path: Path, payload: Any) -> None:
-    with open(path, "w") as f:
+    # temp-then-rename per artifact: a crash mid-save must never destroy the
+    # previously valid checkpoint in this directory (the manifest — written
+    # LAST — still references the old, intact artifacts)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(payload, f, default=_json_default, separators=(",", ":"))
+    tmp.replace(path)
 
 
 def _doc_from(d: dict) -> Document:
@@ -146,25 +158,33 @@ def save_checkpoint(
     )
 
     emb_path = directory / "embeddings.npz"
-    if embeddings:
-        ids = list(embeddings.keys())
-        mat = np.stack([embeddings[i] for i in ids]).astype(np.float32)
-        np.savez_compressed(emb_path, chunk_ids=np.array(ids), vectors=mat)
-    else:
-        np.savez_compressed(
-            emb_path, chunk_ids=np.array([], dtype=str), vectors=np.zeros((0, 1), np.float32)
-        )
+    emb_tmp = directory / "embeddings.npz.tmp"
+    # write through a file handle: np.savez_compressed(path) appends ".npz" to
+    # names that lack it, which would break the temp-then-rename
+    with open(emb_tmp, "wb") as f:
+        if embeddings:
+            ids = list(embeddings.keys())
+            mat = np.stack([embeddings[i] for i in ids]).astype(np.float32)
+            np.savez_compressed(f, chunk_ids=np.array(ids), vectors=mat)
+        else:
+            np.savez_compressed(
+                f, chunk_ids=np.array([], dtype=str), vectors=np.zeros((0, 1), np.float32)
+            )
+    emb_tmp.replace(emb_path)
 
     artifacts = {}
     for name in ("corpus.json", "entities.json", "embeddings.npz"):
         artifacts[name] = _sha256_file(directory / name)
 
+    cfg_dict = dataclasses.asdict(config) if config else None
+    if cfg_dict is not None:
+        cfg_dict["api_key"] = ""  # NEVER persist bearer tokens into a portable artifact
     manifest = {
         "format_version": FORMAT_VERSION,
         "created_at": time.time(),
         "stats": corpus.stats(),
         "entity_stats": entity_store.stats() if entity_store else {},
-        "config": dataclasses.asdict(config) if config else None,
+        "config": cfg_dict,
         "artifacts": artifacts,
     }
     tmp = directory / (MANIFEST + ".tmp")
@@ -177,12 +197,17 @@ def load_checkpoint(
     directory: str | Path,
     verify: bool = True,
     allow_pickle: bool = False,
+    trust_config: bool = False,
 ) -> Tuple[CorpusStore, Optional[EntityStore], Dict[str, np.ndarray], Optional[RAGConfig]]:
     """Restore artifacts; raises CheckpointError on missing/corrupt data.
 
-    Format v2 checkpoints are plain JSON + npz — safe to load from untrusted storage.
-    Legacy v1 checkpoints used pickle; loading them executes arbitrary code embedded in
-    the file, so they require ``allow_pickle=True`` (only for checkpoints you wrote).
+    Format v2 checkpoints are plain JSON + npz — safe to load from untrusted storage:
+    no code executes, and the embedded config's NETWORK fields (``*_api_base``,
+    ``api_key``) are stripped unless ``trust_config=True`` — otherwise a crafted
+    checkpoint could silently redirect every query/ingest to an attacker's model
+    server (exfiltration/SSRF) the moment it is loaded. Legacy v1 checkpoints used
+    pickle; loading them executes arbitrary code embedded in the file, so they
+    require ``allow_pickle=True`` (only for checkpoints you wrote).
     """
     directory = Path(directory)
     mpath = directory / MANIFEST
@@ -244,6 +269,10 @@ def load_checkpoint(
         for key in ("mesh_shape", "mesh_axis_names", "analyzer_languages"):
             if key in raw and isinstance(raw[key], list):
                 raw[key] = tuple(raw[key])
+        if not trust_config:
+            for key in list(raw):
+                if key.endswith("_api_base") or key == "api_key":
+                    raw[key] = ""
         cfg = RAGConfig(**raw)
     return corpus, entity_store, embeddings, cfg
 
@@ -256,15 +285,23 @@ def save_ingestor(ingestor, directory: str | Path) -> Path:
     )
 
 
-def load_ingestor(directory: str | Path, config: Optional[RAGConfig] = None):
+def load_ingestor(
+    directory: str | Path,
+    config: Optional[RAGConfig] = None,
+    allow_pickle: bool = False,
+    trust_config: bool = False,
+):
     """Restore an Ingestor (and thereby a retriever via make_retriever()).
 
     Passing a different ``config`` (e.g. another ``embedding_dim``) re-derives device
     indexes under the new settings from the stored full-dim embeddings — the
-    backfill/migration path."""
+    backfill/migration path. ``allow_pickle``/``trust_config`` thread through to
+    :func:`load_checkpoint` (v1 migration / trusted-source network config)."""
     from ..ingest import Ingestor
 
-    corpus, entity_store, embeddings, saved_cfg = load_checkpoint(directory)
+    corpus, entity_store, embeddings, saved_cfg = load_checkpoint(
+        directory, allow_pickle=allow_pickle, trust_config=trust_config
+    )
     ing = Ingestor(corpus=corpus, config=config or saved_cfg, entity_store=entity_store)
     ing.embeddings = embeddings
     return ing

@@ -107,7 +107,8 @@ def post_json(
             last_exc = exc
         except Exception as e:  # URLError, timeout, ConnectionReset, bad JSON
             last_exc = e
-        rag_metrics.counter("http_model_retries_total").inc()
+        if attempt < retries:  # the final failed attempt is not a retry
+            rag_metrics.counter("http_model_retries_total").inc()
     assert last_exc is not None
     raise last_exc
 
@@ -178,9 +179,14 @@ class HTTPEmbedder:
             backoff_s=self.backoff_s,
             api_key=self.api_key,
         )
-        rows = sorted(data["data"], key=lambda d: d.get("index", 0))
         out = np.zeros((len(inputs), self.dim), np.float32)
-        for i, row in enumerate(rows[: len(inputs)]):
+        for pos, row in enumerate(data["data"]):
+            # align by the protocol's OWN index key: servers may omit rows that
+            # failed (e.g. an over-long input), and positional assignment would
+            # silently shift every later embedding onto the wrong input
+            i = row.get("index", pos)
+            if not isinstance(i, int) or not (0 <= i < len(inputs)):
+                continue
             vec = np.asarray(row["embedding"], np.float32)
             if vec.shape[0] != self.dim:
                 # dimension drift: warn-and-adapt like the reference (embedder.py:140-145)

@@ -92,12 +92,17 @@ class CallableReranker:
         ids_np = np.asarray(ids)
         query = query_ctx.get("query_text", "")
         try:
-            texts = [self.texts_of(int(i)) if i >= 0 else "" for i in ids_np]
-            raw = self.fn(query, texts)
-            scores = np.asarray(raw, dtype=np.float32)
-            if scores.shape != ids_np.shape:
-                raise ValueError("reranker returned wrong shape")
-            scores = np.where(ids_np >= 0, np.clip(scores, 0.0, 1.0), 0.0)
+            # compact to VALID candidates only: -1 pad slots would otherwise be
+            # sent as empty-string documents — on the chat-scoring fallback each
+            # one costs a full model round trip whose score is masked out anyway
+            valid_pos = [j for j, i in enumerate(ids_np) if i >= 0]
+            scores = np.zeros(ids_np.shape, np.float32)
+            if valid_pos:
+                texts = [self.texts_of(int(ids_np[j])) for j in valid_pos]
+                raw = np.asarray(self.fn(query, texts), dtype=np.float32)
+                if raw.shape != (len(valid_pos),):
+                    raise ValueError("reranker returned wrong shape")
+                scores[valid_pos] = np.clip(raw, 0.0, 1.0)
             return jnp.asarray(scores)
         except Exception:
             return self.fallback.score(query_ctx, ids, fused_scores)
