@@ -108,3 +108,42 @@ def test_stage_timer():
     with t.stage("alpha"):
         pass
     assert "alpha_ms" in t.timings and t.timings["alpha_ms"] >= 0
+
+
+def test_maxsim_store_appends_instead_of_rebuilding(small_config):
+    """Adding one document must NOT re-run token_embeddings over every existing
+    parent (the dominant encoder cost of a rebuild) — the MaxSim cache appends
+    into spare capacity like the dense cache."""
+    from triple_hybrid_rag_tpu.facade import RAG
+    from triple_hybrid_rag_tpu.models.embedder import BowHashEmbedder
+
+    cfg = small_config.replace(
+        graph_enabled=False, embedding_dtype="float32", safety_threshold=0.0,
+        capacity_round=64,  # spare parent capacity for in-place appends
+    )
+
+    class CountingEmbedder(BowHashEmbedder):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.token_calls = []
+
+        def token_embeddings(self, texts, max_tokens=None, dim=None):
+            self.token_calls.append(len(texts))
+            return super().token_embeddings(texts, max_tokens=max_tokens, dim=dim)
+
+    emb = CountingEmbedder(dim=cfg.embedding_dim_full, config=cfg)
+    rag = RAG(config=cfg, embedder=emb)
+    for i in range(6):
+        rag.ingest_text(f"Document {i} about payment invoices item {i}.", name=f"d{i}.md")
+    rag.query("payment invoices")  # builds indexes (full maxsim build: 6 parents)
+    emb.token_calls.clear()
+
+    rag.ingest_text("Fresh document about forest foxes.", name="new.md")
+    r = rag.query("forest foxes")
+    assert r.results and "fox" in r.results[0].text.lower()
+    # doc-side token embedding ran ONLY for the new parent (query-side calls
+    # embed 1 text and are indistinguishable — allow batches of size 1)
+    assert all(n == 1 for n in emb.token_calls), emb.token_calls
+    # old content still reranks correctly through the appended store
+    r2 = rag.query("payment invoices item 3")
+    assert r2.results and "payment" in r2.results[0].text.lower()

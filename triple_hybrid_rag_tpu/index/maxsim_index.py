@@ -78,18 +78,25 @@ def build_maxsim_index(
     td = config.maxsim_doc_tokens
     d = config.maxsim_dim
 
-    toks = np.zeros((p_pad, td, d), np.float32)
+    # stage directly in the STORAGE dtype, packing each embedder batch as it
+    # arrives: a full-corpus f32 staging buffer peaked at 4-5x the final int8
+    # store (~32 GB at 1M parents with the defaults — host OOM at exactly the
+    # scale this repo benchmarks)
+    store_dtype = _pack_tokens(np.zeros((1, 1, 1), np.float32), config.embedding_dtype).dtype
+    toks = np.zeros((p_pad, td, d), store_dtype)
     mask = np.zeros((p_pad, td), bool)
     for i in range(0, n, batch_size):
         batch = list(parent_texts[i : i + batch_size])
         emb = token_embedder.token_embeddings(batch, dim=d)  # [b, T, <=d]
         t_avail = min(td, emb.shape[1])
         d_avail = min(d, emb.shape[2])
-        toks[i : i + len(batch), :t_avail, :d_avail] = emb[:, :t_avail, :d_avail]
+        block = np.zeros((len(batch), td, d), np.float32)
+        block[:, :t_avail, :d_avail] = emb[:, :t_avail, :d_avail]
+        toks[i : i + len(batch)] = _pack_tokens(block, config.embedding_dtype)
         mask[i : i + len(batch), :t_avail] = np.any(emb[:, :t_avail] != 0, axis=-1)
 
     return MaxSimIndex(
-        tokens=jnp.asarray(_pack_tokens(toks, config.embedding_dtype)),
+        tokens=jnp.asarray(toks),
         mask=jnp.asarray(mask),
         n_parents=n,
         config=config,

@@ -98,6 +98,7 @@ class Ingestor:
         self.ner_retries = ner_retries
         self.embeddings: Dict[str, np.ndarray] = {}  # chunk_id -> full-dim embedding
         self._dense_cache: Optional[DenseIndex] = None  # incremental-append target
+        self._maxsim_cache = None  # incremental MaxSim store (same contract)
 
     # ------------------------------------------------------------------
 
@@ -327,11 +328,47 @@ class Ingestor:
         from .retrieval import Retriever
 
         bm25, dense, graph = self.build_indexes()
+        kwargs.setdefault("maxsim_index", self._maxsim_index())
         return Retriever(
             self.corpus, self.config,
             embedder=self.embedder.inner,
             bm25_index=bm25, dense_index=dense, graph_index=graph, **kwargs,
         )
+
+    def _maxsim_index(self):
+        """Incremental MaxSim token store (mirrors the dense cache): adding one
+        document to a large corpus must not re-run token_embeddings over EVERY
+        parent — the dominant encoder cost of a rebuild. Appends new parents
+        into spare capacity; falls back to a full build when the config changed
+        or the corpus shrank."""
+        cfg = self.config
+        emb = self.embedder.inner if hasattr(self.embedder, "inner") else self.embedder
+        if not (
+            cfg.rerank_enabled
+            and cfg.rerank_backend == "maxsim"
+            and hasattr(emb, "token_embeddings")
+            and self.corpus.n_parents > 0
+        ):
+            self._maxsim_cache = None
+            return None
+        from .index.maxsim_index import build_maxsim_index
+
+        cached = self._maxsim_cache
+        if cached is not None and (
+            cached.config != cfg or cached.n_parents > self.corpus.n_parents
+        ):
+            cached = None
+        if cached is not None:
+            new_parents = self.corpus.parents[cached.n_parents :]
+            if new_parents:
+                toks = emb.token_embeddings(
+                    [p.text for p in new_parents], dim=cfg.maxsim_dim
+                )
+                cached = cached.append(np.asarray(toks, np.float32))
+        else:
+            cached = build_maxsim_index(self.corpus.parent_texts(), emb, cfg)
+        self._maxsim_cache = cached
+        return cached
 
     # ------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ device adjacency arrays are built from (``index/graph_index.py``).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 import uuid
 from dataclasses import dataclass, field
@@ -53,24 +54,45 @@ _DATE_RE = re.compile(
     r"\b(\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}-\d{2}-\d{2}|"
     r"(?:january|february|march|april|may|june|july|august|september|october|november|"
     r"december|janeiro|fevereiro|março|marco|abril|maio|junho|julho|agosto|setembro|"
-    r"outubro|novembro|dezembro)\s+\d{1,2}?,?\s*\d{4})\b",
+    # the day is OPTIONAL: month-name + year ("March 2024", "janeiro 2024") is the
+    # dominant form in the contracts this taxonomy targets ({1,2}? was lazy, not
+    # optional, and silently rejected day-less dates)
+    r"outubro|novembro|dezembro)\s+(?:\d{1,2},?\s+)?\d{4})\b",
     re.IGNORECASE,
 )
 _MONEY_RE = re.compile(r"(?:R?\$\s?[\d.,]+(?:\s?(?:million|billion|mil|milhões|bilhões))?|\b[\d.,]+\s?(?:dollars|reais|euros|USD|BRL|EUR)\b)")
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+|\n+")
 
-# relation patterns: (regex with two capture groups over entity placeholders, type, swap)
+# relation patterns: (verb-phrase regex between two entity spans, type, swap).
+# The verb regexes compile ONCE; per parent, each pattern with its verb present
+# runs a single finditer over (entity-alternation) verb (entity-alternation) —
+# O(patterns * len(text)) instead of the previous O(patterns * n_entities^2 *
+# len(text)) per-pair scans (measured 1.1 s for ONE 26-entity parent)
 _REL_PATTERNS: List[Tuple[str, RelationType, bool]] = [
-    (r"{A}\s+(?:works?\s+for|trabalha\s+para|is\s+employed\s+by)\s+{B}", RelationType.WORKS_FOR, False),
-    (r"{A}\s+(?:is\s+)?(?:located\s+in|based\s+in|localizada?\s+em|sediada\s+em)\s+{B}", RelationType.LOCATED_IN, False),
-    (r"{A}\s+(?:is\s+part\s+of|belongs\s+to|faz\s+parte\s+de|pertence\s+a)\s+{B}", RelationType.PART_OF, False),
-    (r"{A}\s+(?:produces|manufactures|produz|fabrica)\s+{B}", RelationType.PRODUCES, False),
-    (r"{A}\s+(?:uses|usa|utiliza)\s+{B}", RelationType.USES, False),
-    (r"{A}\s+(?:provides|offers|fornece|oferece)\s+{B}", RelationType.PROVIDES, False),
-    (r"{A}\s+(?:depends\s+on|depende\s+de)\s+{B}", RelationType.DEPENDS_ON, False),
-    (r"{A}\s+(?:signed\s+by|assinado\s+por)\s+{B}", RelationType.SIGNED_BY, False),
-    (r"{A}\s+(?:costs|custa)\s+{B}", RelationType.COSTS, False),
+    (r"(?:works?\s+for|trabalha\s+para|is\s+employed\s+by)", RelationType.WORKS_FOR, False),
+    (r"(?:is\s+)?(?:located\s+in|based\s+in|localizada?\s+em|sediada\s+em)", RelationType.LOCATED_IN, False),
+    (r"(?:is\s+part\s+of|belongs\s+to|faz\s+parte\s+de|pertence\s+a)", RelationType.PART_OF, False),
+    (r"(?:produces|manufactures|produz|fabrica)", RelationType.PRODUCES, False),
+    (r"(?:uses|usa|utiliza)", RelationType.USES, False),
+    (r"(?:provides|offers|fornece|oferece)", RelationType.PROVIDES, False),
+    (r"(?:depends\s+on|depende\s+de)", RelationType.DEPENDS_ON, False),
+    (r"(?:signed\s+by|assinado\s+por)", RelationType.SIGNED_BY, False),
+    (r"(?:costs|custa)", RelationType.COSTS, False),
 ]
+_REL_VERB_RES = [(re.compile(mid, re.IGNORECASE), mid, rt, sw) for mid, rt, sw in _REL_PATTERNS]
+
+
+def _fold_ws(text: str) -> str:
+    """accent-strip + lowercase + whitespace-collapse: canonical_key's text space
+    (double spaces/tabs from OCR or justified text must not break matching)."""
+    return " ".join(strip_accents(text.lower()).split())
+
+
+def _safe_conf(raw) -> float:
+    try:
+        return min(max(float(raw), 0.0), 1.0)
+    except (TypeError, ValueError):
+        return 0.8
 
 
 def canonical_key(name: str) -> str:
@@ -161,26 +183,44 @@ class RuleBasedExtractor:
             )
 
         ent_list = list(entities.values())
-        for pattern, rtype, swap in _REL_PATTERNS:
-            for a in ent_list:
-                for b in ent_list:
-                    if a is b:
+        if len(ent_list) >= 2:
+            # longest-first alternation so "Acme Corp Holdings" wins over "Acme Corp"
+            by_key = {canonical_key(e.canonical_name): e for e in ent_list}
+            alt = "|".join(
+                re.escape(e.canonical_name)
+                for e in sorted(ent_list, key=lambda e: -len(e.canonical_name))
+            )
+            for verb_re, mid, rtype, swap in _REL_VERB_RES:
+                if not verb_re.search(text):
+                    continue  # one cheap scan rejects absent verbs
+                pair_re = re.compile(
+                    rf"({alt})\s+(?:{mid})\s+({alt})", re.IGNORECASE
+                )
+                for m in pair_re.finditer(text):
+                    a = by_key.get(canonical_key(m.group(1)))
+                    b = by_key.get(canonical_key(m.group(2)))
+                    if a is None or b is None or a is b:
                         continue
-                    pat = pattern.format(A=re.escape(a.canonical_name), B=re.escape(b.canonical_name))
-                    if re.search(pat, text, re.IGNORECASE):
-                        add_relation(b if swap else a, a if swap else b, rtype, 0.9)
+                    add_relation(b if swap else a, a if swap else b, rtype, 0.9)
 
-        # co-occurrence in the same sentence -> weak RELATED_TO
+        # co-occurrence in the same sentence -> weak RELATED_TO (canonical text
+        # space: raw case/accent-sensitive substring dropped edges across
+        # "ACME" / "Acme" variants the store treats as one entity)
         for sent in _SENT_SPLIT_RE.split(text):
-            present = [e for e in ent_list if e.canonical_name in sent]
+            folded_sent = _fold_ws(sent)
+            present = [
+                e for key, e in entities.items() if key in folded_sent
+            ]
             for i, a in enumerate(present):
                 for b in present[i + 1 :]:
                     add_relation(a, b, RelationType.RELATED_TO, 0.5)
 
         # mentions: bind each entity to the child chunks whose text contains it
+        # (whitespace-collapsed haystack: canonical keys collapse whitespace, so
+        # "Acme  Corp" in OCR'd text must still bind)
         mentions: List[EntityMention] = []
         for child in children:
-            lowered = strip_accents(child.text.lower())
+            lowered = _fold_ws(child.text)
             for key, ent in entities.items():
                 if key in lowered:
                     mentions.append(
@@ -208,9 +248,16 @@ class CallableExtractor:
         try:
             data = self.fn(parent.text)
             assert isinstance(data, dict)
+            return self._parse(data, parent, children)
         except Exception:
+            # the documented ladder covers MALFORMED payloads too (a list of
+            # strings under "entities", "confidence": "high", ...) — any shape
+            # violation degrades to rules instead of crashing the NER retry loop
             return self._fallback.extract(parent, children)
 
+    def _parse(
+        self, data: dict, parent: ParentChunk, children: Sequence[ChildChunk]
+    ) -> ExtractionResult:
         entities: Dict[str, Entity] = {}
         for e in data.get("entities", []):
             name = str(e.get("name", "")).strip()
@@ -250,14 +297,14 @@ class CallableExtractor:
                     subject_id=s.entity_id,
                     object_id=o.entity_id,
                     relation_type=rtype,
-                    confidence=float(r.get("confidence", 0.8)),
+                    confidence=_safe_conf(r.get("confidence", 0.8)),
                     source_chunk_id=parent.parent_id,
                 )
             )
 
         mentions: List[EntityMention] = []
         for child in children:
-            lowered = strip_accents(child.text.lower())
+            lowered = _fold_ws(child.text)
             for key, ent in entities.items():
                 if key in lowered:
                     mentions.append(
@@ -300,25 +347,32 @@ class EntityStore:
                     existing.aliases = tuple(set(existing.aliases) | set(ent.aliases))
         n_rel = 0
         for rel in result.relations:
-            rel.subject_id = remap.get(rel.subject_id, rel.subject_id)
-            rel.object_id = remap.get(rel.object_id, rel.object_id)
-            if rel.subject_id not in self._by_id or rel.object_id not in self._by_id:
+            # remap into COPIES: mutating the caller's objects corrupted the
+            # ExtractionResult for reuse (storing into a second store, or a
+            # retry after a partial failure, saw already-remapped ids)
+            sid = remap.get(rel.subject_id, rel.subject_id)
+            oid = remap.get(rel.object_id, rel.object_id)
+            if sid not in self._by_id or oid not in self._by_id:
                 continue
-            key = (rel.subject_id, rel.object_id, rel.relation_type.value)
+            key = (sid, oid, rel.relation_type.value)
             if key in self._rel_seen:
                 continue
             self._rel_seen.add(key)
+            if sid != rel.subject_id or oid != rel.object_id:
+                rel = dataclasses.replace(rel, subject_id=sid, object_id=oid)
             self.relations.append(rel)
             n_rel += 1
         n_men = 0
         for men in result.mentions:
-            men.entity_id = remap.get(men.entity_id, men.entity_id)
-            if men.entity_id not in self._by_id:
+            eid = remap.get(men.entity_id, men.entity_id)
+            if eid not in self._by_id:
                 continue
-            key = (men.entity_id, men.chunk_id)
+            key = (eid, men.chunk_id)
             if key in self._men_seen:
                 continue
             self._men_seen.add(key)
+            if eid != men.entity_id:
+                men = dataclasses.replace(men, entity_id=eid)
             self.mentions.append(men)
             n_men += 1
         return {"entities": n_new, "relations": n_rel, "mentions": n_men}

@@ -45,7 +45,9 @@ def calibrate_maxsim(scores: jax.Array, calibration: float) -> jax.Array:
     Measured on the zero-overlap paraphrase holdout (models/pretrain.py):
     relevant p5 = 0.41/0.6 = 0.68 > 0.6 > irrelevant p95 = 0.28/0.6 = 0.46.
     """
-    if calibration >= 1.0:
+    if calibration >= 1.0 or calibration <= 0.0:
+        # <= 0 would divide by zero or invert the ordering (an embedder exposing
+        # maxsim_calibration but leaving it uninitialized must mean "no rescale")
         return scores
     return jnp.clip(scores * (1.0 / calibration), 0.0, 1.0)
 

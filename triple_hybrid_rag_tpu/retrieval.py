@@ -135,6 +135,7 @@ class Retriever:
         reranker: Optional[Reranker] = None,
         child_embeddings: Optional[np.ndarray] = None,
         rerank_llm_fn=None,
+        maxsim_index=None,
     ) -> None:
         self.config = config or get_settings()
         self.corpus = corpus
@@ -164,19 +165,23 @@ class Retriever:
         self.parent_of = _parent_of_table(corpus, self.config)
         self._init_collections(self.parent_of.shape[0])
 
-        # MaxSim token store over parent texts (primary rerank backend)
+        # MaxSim token store over parent texts (primary rerank backend);
+        # a prebuilt index (Ingestor's incremental cache / checkpoint restore)
+        # short-circuits the full-corpus token-embedding pass
         self.maxsim_index = None
         if (
             self.config.rerank_enabled
             and self.config.rerank_backend == "maxsim"
-            and hasattr(self.embedder, "token_embeddings")
             and corpus.n_parents > 0
         ):
-            from .index.maxsim_index import build_maxsim_index
+            if maxsim_index is not None:
+                self.maxsim_index = maxsim_index
+            elif hasattr(self.embedder, "token_embeddings"):
+                from .index.maxsim_index import build_maxsim_index
 
-            self.maxsim_index = build_maxsim_index(
-                corpus.parent_texts(), self.embedder, self.config
-            )
+                self.maxsim_index = build_maxsim_index(
+                    corpus.parent_texts(), self.embedder, self.config
+                )
 
         # parent embeddings for the dot-rerank rung (mean of child embeddings) —
         # only when that rung can actually be selected (MaxSim absent): building
