@@ -47,7 +47,6 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", FileType.IMAGE),
     (b"\xff\xd8\xff", FileType.IMAGE),
     (b"GIF8", FileType.IMAGE),
-    (b"RIFF", FileType.IMAGE),  # webp (RIFF....WEBP)
     (b"PK\x03\x04", FileType.DOCX),  # zip container (docx/xlsx disambiguated by ext)
 ]
 
@@ -61,9 +60,15 @@ class UnsupportedFormatError(RuntimeError):
 
 
 def detect_file_type(path: str | Path, data: Optional[bytes] = None) -> FileType:
-    """Extension first, magic bytes as tiebreak/fallback (reference loader.py:119)."""
+    """Extension first, magic bytes as tiebreak/fallback (reference loader.py:119).
+
+    RIFF is a generic container: it maps to IMAGE only when bytes 8-12 say WEBP
+    (a WAV/AVI — or a text file starting with the word 'RIFF' — must not be
+    routed into OCR), and magic never overrides a known TEXT extension."""
     ext_type = _EXT_MAP.get(Path(path).suffix.lower(), FileType.UNKNOWN)
-    if data:
+    if data and ext_type not in (FileType.TXT, FileType.MD, FileType.CSV, FileType.HTML):
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return FileType.IMAGE
         for magic, ftype in _MAGIC:
             if data.startswith(magic):
                 if ftype == FileType.DOCX and ext_type in (FileType.XLSX, FileType.DOCX):
@@ -221,29 +226,44 @@ class DocumentLoader:
 
     def _load_pdf(self, path: Path, data: bytes) -> LoadedDocument:
         """PDF via optional PyMuPDF/pypdf; scanned pages routed to OCR when available
-        (reference loader.py:199-256 text-density heuristic)."""
+        (reference loader.py:199-256 text-density heuristic).
+
+        The try covers ONLY the import: an ImportError raised mid-extraction
+        (e.g. an OCR callable lazily importing a missing dep) previously
+        discarded every extracted page and silently re-ran via pypdf WITHOUT
+        OCR — wrong content with no error surfaced."""
         try:
             import fitz  # PyMuPDF
-
-            doc = fitz.open(stream=data, filetype="pdf")
-            pages = []
-            for i, page in enumerate(doc):
-                text = page.get_text()
-                area = max(page.rect.width * page.rect.height, 1.0)
-                if len(text) / area < 0.001 and self.ocr is not None:
-                    pix = page.get_pixmap(dpi=300)
-                    ocr_res = self.ocr.process_image(pix.tobytes("png"))
-                    pages.append(
-                        PageContent(
-                            page_number=i + 1, text=ocr_res.text,
-                            ocr_confidence=ocr_res.confidence,
-                        )
-                    )
-                else:
-                    pages.append(PageContent(page_number=i + 1, text=text))
-            return LoadedDocument(filename=path.name, file_type=FileType.PDF, pages=pages)
         except ImportError:
-            pass
+            fitz = None
+        if fitz is not None:
+            try:
+                doc = fitz.open(stream=data, filetype="pdf")
+            except Exception as e:  # corrupt-for-fitz: try the simpler extractors
+                doc = None
+                if not data.startswith(b"%PDF"):
+                    raise UnsupportedFormatError(
+                        f"cannot open {path.name} as PDF: {e}"
+                    ) from e
+            if doc is not None:
+                pages = []
+                for i, page in enumerate(doc):
+                    text = page.get_text()
+                    area = max(page.rect.width * page.rect.height, 1.0)
+                    if len(text) / area < 0.001 and self.ocr is not None:
+                        pix = page.get_pixmap(dpi=300)
+                        ocr_res = self.ocr.process_image(pix.tobytes("png"))
+                        pages.append(
+                            PageContent(
+                                page_number=i + 1, text=ocr_res.text,
+                                ocr_confidence=ocr_res.confidence,
+                            )
+                        )
+                    else:
+                        pages.append(PageContent(page_number=i + 1, text=text))
+                return LoadedDocument(
+                    filename=path.name, file_type=FileType.PDF, pages=pages
+                )
         try:
             from pypdf import PdfReader
 
@@ -283,20 +303,37 @@ class DocumentLoader:
 
     def _load_office(self, path: Path, data: bytes, ftype: FileType) -> LoadedDocument:
         if ftype == FileType.DOCX:
+            text = ""
             try:
                 import docx  # python-docx (optional: richer extraction)
-
-                d = docx.Document(io.BytesIO(data))
-                parts = []
-                for para in d.paragraphs:
-                    style = (para.style.name or "").lower()
-                    if style.startswith("heading"):
-                        level = int(re.sub(r"\D", "", style) or 1)
-                        parts.append("#" * level + " " + para.text)
-                    else:
-                        parts.append(para.text)
-                text = "\n\n".join(p for p in parts if p.strip())
             except ImportError:
+                docx = None
+            if docx is not None:
+                try:
+                    d = docx.Document(io.BytesIO(data))
+                    parts = []
+                    for para in d.paragraphs:
+                        style = (para.style.name or "").lower()
+                        if style.startswith("heading"):
+                            level = int(re.sub(r"\D", "", style) or 1)
+                            parts.append("#" * level + " " + para.text)
+                        else:
+                            parts.append(para.text)
+                    # python-docx's .paragraphs EXCLUDES tables — append them as
+                    # markdown (the stdlib fallback already did; installing the
+                    # optional dep must not make table extraction worse)
+                    for table in getattr(d, "tables", []):
+                        rows = [
+                            "| " + " | ".join(c.text.strip() for c in row.cells) + " |"
+                            for row in table.rows
+                        ]
+                        if rows:
+                            header_sep = "|" + "---|" * len(table.rows[0].cells)
+                            parts.append("\n".join([rows[0], header_sep] + rows[1:]))
+                    text = "\n\n".join(p for p in parts if p.strip())
+                except Exception:
+                    text = ""  # corrupt-for-docx: fall through to the stdlib extractor
+            if not text.strip():
                 from .office_text import extract_docx_text
 
                 try:

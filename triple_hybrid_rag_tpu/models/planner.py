@@ -47,6 +47,9 @@ _GRAPH_INDICATORS = (
     "trabalha para",
     "faz parte",
 )
+_GRAPH_INDICATOR_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(i) for i in _GRAPH_INDICATORS) + r")\b"
+)
 
 _PROCEDURAL_PREFIXES = ("how do", "how to", "how can", "como fazer", "como posso", "como faço")
 _FACTUAL_PREFIXES = ("what is", "what are", "define", "o que é", "o que sao", "o que são", "defina")
@@ -54,7 +57,13 @@ _COMPARATIVE_MARKERS = ("difference", "compare", " vs ", "versus", "diferença",
 _ENTITY_LOOKUP_PREFIXES = ("who is", "who are", "quem é", "quem e", "quem sao", "quem são")
 
 # Capitalized multi-word spans (naive proper-noun detection for graph seeding).
-_ENTITY_SPAN_RE = re.compile(r"\b([A-ZÀ-Ý][\wÀ-ÿ&.-]+(?:\s+[A-ZÀ-Ý][\wÀ-ÿ&.-]+)*)\b")
+# No '.' in the char class and spans never cross sentence punctuation — a dot
+# glued "Paris. London" into one bogus entity; dotted acronyms keep internal
+# dots via the optional (?:\.[A-Z][\wÀ-ÿ&-]*)* tail.
+_ENTITY_SPAN_RE = re.compile(
+    r"\b([A-ZÀ-Ý][\wÀ-ÿ&-]*(?:\.[A-ZÀ-Ý][\wÀ-ÿ&-]*)*"
+    r"(?:\s+[A-ZÀ-Ý][\wÀ-ÿ&-]*(?:\.[A-ZÀ-Ý][\wÀ-ÿ&-]*)*)*)\b"
+)
 
 # Interrogatives / auxiliaries / verbs that appear capitalized at sentence start but
 # are never entity names (EN + PT; mirrors the reference planner's stop-word slant).
@@ -84,7 +93,10 @@ class RuleBasedPlanner:
         lowered = query.lower()
         keywords = self._analyzer.keywords(query, max_keywords=self.config.max_query_terms)
 
-        requires_graph = any(ind in lowered for ind in _GRAPH_INDICATORS)
+        # word-boundary matching: raw substrings flipped requires_graph on
+        # unrelated words ("whole" contains "who", "entrepreneurs"/"entrevista"
+        # contain PT "entre")
+        requires_graph = bool(_GRAPH_INDICATOR_RE.search(lowered))
         entities = self._entity_candidates(query)
         if entities:
             requires_graph = requires_graph or len(entities) >= 2
@@ -106,8 +118,9 @@ class RuleBasedPlanner:
             "lexical": self.config.lexical_weight,
             "semantic": self.config.semantic_weight,
             # graph weight halves when the query shows no graph shape
-            # (reference _simple_plan: graph weight 0.5 unless requires_graph)
-            "graph": self.config.graph_weight if requires_graph else 0.5,
+            # (reference _simple_plan semantics; scaled by the CONFIGURED weight —
+            # a hard-coded 0.5 inverted the ordering whenever graph_weight < 0.5)
+            "graph": self.config.graph_weight * (1.0 if requires_graph else 0.5),
         }
         if intent == "procedural":
             # procedural queries lean on exact keyword matches (reference planner prompt
@@ -130,22 +143,37 @@ class RuleBasedPlanner:
         )
 
     def _entity_candidates(self, query: str) -> list[str]:
-        """Capitalized spans, excluding a leading sentence-capital interrogative."""
-        spans = [m.group(1) for m in _ENTITY_SPAN_RE.finditer(query)]
+        """Capitalized spans, excluding leading interrogatives/auxiliaries."""
         out = []
-        for i, s in enumerate(spans):
-            # single-word interrogatives/aux verbs capitalized by sentence position
-            # are never entities ("How is X related to Y?" must not lookup "How")
-            if " " not in s and s.lower() in _NONENTITY_WORDS:
-                continue
-            if i == 0 and query.startswith(s) and len(s.split()) == 1:
-                # leading word is capitalized by sentence position, not a proper noun,
-                # unless it also appears capitalized elsewhere or is multi-word
-                if s.lower() in query.lower()[len(s):]:
+        first_span = True
+        for sent in re.split(r"(?<=[.!?])\s+", query):
+            for m in _ENTITY_SPAN_RE.finditer(sent):
+                s = m.group(1)
+                # strip leading interrogatives/aux verbs capitalized by sentence
+                # position ("Does Microsoft own GitHub?" seeds "Microsoft", not
+                # "Does Microsoft")
+                words = s.split()
+                while words and words[0].lower() in _NONENTITY_WORDS:
+                    words = words[1:]
+                if not words:
+                    first_span = False
                     continue
-                if not any(c.isupper() for c in query[len(s):]) and s.istitle():
-                    continue
-            out.append(s)
+                s = " ".join(words)
+                if " " not in s:
+                    if s.lower() in _NONENTITY_WORDS:
+                        first_span = False
+                        continue
+                    if first_span and sent.strip().startswith(s):
+                        # sentence-initial single capital: ambiguous unless it
+                        # also appears capitalized later or recurs in the text
+                        rest = sent[sent.find(s) + len(s):]
+                        if s.lower() in rest.lower() or (
+                            not any(c.isupper() for c in rest) and s.istitle()
+                        ):
+                            first_span = False
+                            continue
+                out.append(s)
+                first_span = False
         return out
 
 
@@ -165,8 +193,14 @@ class CallablePlanner:
             data = self.fn(query)
             if not isinstance(data, dict):
                 return base
+            return self._parse(query, data, base)
         except Exception:
+            # shape violations in the payload (weights as a list, "high" as a
+            # weight, ...) degrade to the rule plan too — the LLM boundary has
+            # no schema guarantee (reference fallback, query_planner.py:180-190)
             return base
+
+    def _parse(self, query: str, data: dict, base: QueryPlan) -> QueryPlan:
         weights = data.get("weights") or base.weights
         return QueryPlan(
             original_query=query,

@@ -69,15 +69,35 @@ def image_size(data: bytes) -> Optional[Tuple[int, int]]:
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:  # 0xFF fill bytes between markers are legal padding
+                i += 1
+                continue
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):
                 h, w = struct.unpack(">HH", data[i + 5 : i + 9])
                 return int(w), int(h)
+            if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI carry no length field
+                i += 2
+                continue
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return None
     if data[:4] == b"GIF8" and len(data) >= 10:
         w, h = struct.unpack("<HH", data[6:10])
         return int(w), int(h)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 30:
+        # the loader accepts WEBP, so oversized WEBP scans must trigger tiling too
+        fmt = data[12:16]
+        if fmt == b"VP8X":
+            w = 1 + int.from_bytes(data[24:27], "little")
+            h = 1 + int.from_bytes(data[27:30], "little")
+            return w, h
+        if fmt == b"VP8L" and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if fmt == b"VP8 ":
+            w = int.from_bytes(data[26:28], "little") & 0x3FFF
+            h = int.from_bytes(data[28:30], "little") & 0x3FFF
+            return w, h
     return None
 
 
@@ -91,8 +111,10 @@ def calculate_tiles(
 ) -> List[Tuple[int, int, int, int]]:
     """Tile boxes (x0, y0, x1, y1) with overlap; step rescales to honor max_tiles
     (reference ocr.py:474-531)."""
-    tile, overlap = cfg.tile_px, cfg.overlap_px
-    step = tile - overlap
+    tile = cfg.tile_px
+    # a degenerate overlap >= tile would make the step 0/negative (range() crash)
+    overlap = min(cfg.overlap_px, tile - 1)
+    step = max(tile - overlap, 1)
 
     def axis_starts(extent: int, step_: int) -> List[int]:
         if extent <= tile:
@@ -103,8 +125,10 @@ def calculate_tiles(
         return starts
 
     xs, ys = axis_starts(width, step), axis_starts(height, step)
-    # rescale the step until the tile count fits the cap
-    while len(xs) * len(ys) > cfg.max_tiles:
+    # rescale the step until the tile count fits the cap; an oversized axis can
+    # never go below 2 starts, so stop when the grid is irreducible (max_tiles < 4
+    # previously looped until the step overflowed to float infinity)
+    while len(xs) * len(ys) > cfg.max_tiles and (len(xs) > 2 or len(ys) > 2):
         step = int(step * 1.5) + 1
         xs, ys = axis_starts(width, step), axis_starts(height, step)
     return [
@@ -116,7 +140,10 @@ def calculate_tiles(
 # confidence heuristic (reference ocr.py:387 text-quality estimate)
 # ---------------------------------------------------------------------------
 
-_WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]{2,}")
+# unicode word chars (letters in ANY script + digits): a Latin-only class capped
+# flawless CJK/Cyrillic/Arabic or numeric OCR output at 0.6, escalating every
+# non-Latin page through the whole mode ladder
+_WORD_RE = re.compile(r"[^\W_]{2,}", re.UNICODE)
 
 
 def estimate_confidence(text: str) -> float:
