@@ -86,13 +86,24 @@ char fold_codepoint(uint32_t cp) {
 
 // ---- S-stemmer (mirror of analyzer.s_stem) --------------------------------
 
+// English -oes plurals the Portuguese -oes->-ao rule must skip (mirror of
+// analyzer._EN_OES_WORDS; 'shoes' must stem to 'shoe', not 'shao')
+static const std::unordered_set<std::string> kEnOesWords = {
+    "shoes", "heroes", "echoes", "tomatoes", "potatoes", "goes", "does",
+    "toes", "foes", "woes", "hoes", "oboes", "torpedoes", "dominoes",
+    "volcanoes", "mosquitoes", "canoes", "vetoes", "embargoes", "cargoes",
+    "mangoes", "haloes", "zeroes", "tornadoes", "buffaloes",
+};
+
 void s_stem(std::string& t) {
   size_t n = t.size();
   auto ends = [&](const char* suf) {
     size_t m = strlen(suf);
     return n >= m && t.compare(n - m, m, suf) == 0;
   };
-  if (n > 4 && ends("oes")) { t.replace(n - 3, 3, "ao"); return; }
+  if (n > 4 && ends("oes") && kEnOesWords.find(t) == kEnOesWords.end()) {
+    t.replace(n - 3, 3, "ao"); return;
+  }
   if (n > 4 && ends("ies") && t[n - 4] != 'a' && t[n - 4] != 'e') {
     t.replace(n - 3, 3, "y"); return;
   }

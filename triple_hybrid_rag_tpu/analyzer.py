@@ -94,6 +94,17 @@ def _build_fold_table() -> dict:
 
 _FOLD_TABLE = _build_fold_table()
 
+# Common English -oes plurals the Portuguese -ões rule must not touch (the
+# analyzer is bilingual: 'shoes' -> 'shao' would never match a 'shoe' query).
+# PT plurals like nacoes/licoes/aviaoes are absent from this list and still
+# fold to -ao. The lists can only collide on words valid in both languages,
+# where either stem is self-consistent (index and query use the same rule).
+_EN_OES_WORDS = frozenset(
+    """shoes heroes echoes tomatoes potatoes goes does toes foes woes hoes
+    oboes torpedoes dominoes volcanoes mosquitoes canoes vetoes embargoes
+    cargoes mangoes haloes zeroes tornadoes buffaloes""".split()
+)
+
 
 def s_stem(token: str) -> str:
     """Light plural stemming (Harman S-stemmer + a Portuguese -oes rule).
@@ -104,7 +115,11 @@ def s_stem(token: str) -> str:
     index build and query time, so only consistency matters for ranking.
     """
     n = len(token)
-    if n > 4 and token.endswith("oes"):  # accent-stripped -ções/-ões plurals
+    if (
+        n > 4
+        and token.endswith("oes")
+        and token not in _EN_OES_WORDS  # 'shoes' must stem to 'shoe', not 'shao'
+    ):  # accent-stripped -ções/-ões plurals
         return token[:-3] + "ao"
     if n > 4 and token.endswith("ies") and token[-4] not in "ae":
         return token[:-3] + "y"
@@ -168,10 +183,21 @@ class Analyzer:
             token_re = _TOKEN_RE
         min_len = self.config.analyzer_min_token_len
         stem = s_stem if self.config.analyzer_stemming == "light" else (lambda t: t)
+        if self.config.analyzer_strip_accents:
+            return [
+                stem(t)
+                for t in token_re.findall(text)
+                if len(t) >= min_len and t not in self._stopwords
+            ]
+        # accents kept: the stopword list stores STRIPPED forms, so the test
+        # folds the token just for membership ('não'/'são'/'você' must still
+        # filter — they are the highest-frequency PT words)
         return [
             stem(t)
             for t in token_re.findall(text)
-            if len(t) >= min_len and t not in self._stopwords
+            if len(t) >= min_len
+            and t not in self._stopwords
+            and strip_accents(t) not in self._stopwords
         ]
 
     def keywords(self, query: str, max_keywords: int = 10) -> List[str]:
@@ -250,6 +276,8 @@ def term_frequencies(token_ids: Sequence[int]) -> Dict[int, int]:
 # reference triple-hybrid-rag/database/schema.sql entity-name trigram index).
 
 def trigrams(s: str) -> frozenset[str]:
+    if not s.strip():
+        return frozenset()  # pg_trgm: empty input has NO trigrams (similarity 0)
     s = "  " + strip_accents(s.lower()) + " "
     return frozenset(s[i : i + 3] for i in range(len(s) - 2))
 

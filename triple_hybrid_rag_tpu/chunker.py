@@ -272,6 +272,11 @@ class RecursiveSplitter:
             # placeholders must not be duplicated by overlap (table atomicity)
             if "\x00" in tail:
                 tail = _PLACEHOLDER_RE.sub("", tail)
+                if "\x00" in tail:
+                    # the tail started MID-placeholder: a truncated remnant like
+                    # "TBL7\x00" would be embedded and indexed — drop through the
+                    # last NUL so only clean text survives
+                    tail = tail[tail.rindex("\x00") + 1 :]
             out.append((tail + " " + cur).strip() if tail.strip() else cur)
         return out
 
@@ -352,9 +357,23 @@ class HierarchicalChunker:
             )
             parents.append(parent)
 
+            c_cursor = 0
             for c_idx, c_masked in enumerate(self._child_splitter.split_text(p_masked)):
                 c_text = restore_tables(c_masked, tables)
                 modality = Modality.TABLE if _TABLE_ROW_ANYWHERE.search(c_text) else Modality.TEXT
+                # per-child attribution: a parent can span several sections and
+                # pages — each child carries ITS OWN most-recent heading and page
+                # projection (previously every child inherited the parent's,
+                # misattributing whenever sections merged into one parent)
+                c_pos = p_masked.find(c_masked[:48], c_cursor)
+                if c_pos < 0:
+                    c_pos = c_cursor
+                c_cursor = c_pos + max(1, len(c_masked) // 2)
+                c_abs = pos + c_pos
+                c_heading = self._heading_for(headings, c_abs) or heading
+                c_pstart, c_pend = self._pages_for(
+                    page_map, to_original(c_abs), to_original(c_abs + len(c_masked)), text
+                )
                 children.append(
                     ChildChunk(
                         chunk_id=f"{doc_key}:{p_idx}:{c_idx}",
@@ -364,9 +383,9 @@ class HierarchicalChunker:
                         child_idx=c_idx,
                         text=c_text,
                         modality=modality,
-                        section_heading=heading,
-                        page_start=p_start,
-                        page_end=p_end,
+                        section_heading=c_heading,
+                        page_start=c_pstart,
+                        page_end=c_pend,
                         token_count=self._count(c_text),
                     )
                 )

@@ -40,9 +40,20 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                 p for p in sorted(t.rglob("*"))
                 if p.is_file() and index_dir not in p.resolve().parents
             ]
-            results.extend(rag.ingest(p, force=args.force) for p in files)
         else:
-            results.append(rag.ingest(t, force=args.force))
+            files = [t]
+        for p in files:
+            # per-file guard: one missing/broken path must not discard the
+            # whole run's already-ingested work before rag.save() below
+            try:
+                results.append(rag.ingest(p, force=args.force))
+            except Exception as e:
+                from .types import IngestionResult, IngestionStatus
+
+                results.append(IngestionResult(
+                    doc_id="", filename=str(p),
+                    status=IngestionStatus.FAILED, error=f"{type(e).__name__}: {e}",
+                ))
     rag.save(index_dir)
     for r in results:
         if args.json:
@@ -57,7 +68,13 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                   f"{r.n_children} children, {r.n_entities} entities"
                   + (f" ({r.error})" if r.error else ""))
     failed = sum(1 for r in results if r.status.value == "failed")
-    print(f"ingested {len(results)} file(s), {failed} failed -> {index_dir}")
+    import sys as _sys
+
+    # the human summary goes to stderr under --json: stdout stays pure JSONL
+    print(
+        f"ingested {len(results)} file(s), {failed} failed -> {index_dir}",
+        file=_sys.stderr if args.json else _sys.stdout,
+    )
     return 1 if failed else 0
 
 
@@ -144,6 +161,13 @@ def cmd_bench(args: argparse.Namespace) -> int:
     if args.n:
         os.environ["BENCH_N"] = str(args.n)
     bench = Path(__file__).resolve().parent.parent / "bench.py"
+    if not bench.exists():
+        print(
+            "thr bench: bench.py ships with the source repository (it is not part "
+            "of the installed package) — run it from a checkout of the repo",
+            file=__import__("sys").stderr,
+        )
+        return 2
     runpy.run_path(str(bench), run_name="__main__")
     return 0
 
@@ -183,7 +207,6 @@ def cmd_migrate(args: argparse.Namespace) -> int:
     the full backfill), then writes a fresh verified checkpoint."""
     from .index.checkpoint import load_ingestor, save_ingestor
 
-    ing = load_ingestor(args.src, allow_pickle=args.allow_pickle)
     overrides = {}
     if args.dim is not None:
         overrides["embedding_dim"] = args.dim
@@ -191,9 +214,23 @@ def cmd_migrate(args: argparse.Namespace) -> int:
         overrides["embedding_dim_full"] = args.dim_full
     if args.dtype is not None:
         overrides["embedding_dtype"] = args.dtype
+    cfg = None
     if overrides:
-        ing = load_ingestor(args.src, config=ing.config.replace(**overrides),
-                            allow_pickle=args.allow_pickle)
+        # peek the saved config from the manifest (cheap) instead of loading the
+        # full checkpoint twice just to call .replace() on its config
+        import json as _json
+
+        from .config import RAGConfig
+        from .index.checkpoint import MANIFEST
+
+        manifest = _json.loads((Path(args.src) / MANIFEST).read_text())
+        raw = dict(manifest.get("config") or {})
+        for key in ("mesh_shape", "mesh_axis_names", "analyzer_languages"):
+            if key in raw and isinstance(raw[key], list):
+                raw[key] = tuple(raw[key])
+        base_cfg = RAGConfig(**raw) if raw else RAGConfig()
+        cfg = base_cfg.replace(**overrides)
+    ing = load_ingestor(args.src, config=cfg, allow_pickle=args.allow_pickle)
     n = len(ing.corpus)
     if args.reembed and n:
         texts = [c.text for c in ing.corpus.children]

@@ -79,6 +79,15 @@ class CorpusStore:
         """Append chunks, assigning device rows; dedups children by content hash
         (tolerant insert semantics, reference rag2/ingest.py:457-462)."""
         res = AddChunksResult()
+        # validate EVERY child's parent reference before touching any state: a
+        # mid-iteration KeyError previously left appended rows behind with
+        # _dirty unset, so derived indexes never saw them
+        known = {p.parent_id for p in parents} | set(self._parent_row)
+        for c in children:
+            if c.parent_id not in known:
+                raise KeyError(
+                    f"child {c.chunk_id} references unknown parent {c.parent_id}"
+                )
         for p in parents:
             if p.parent_id in self._parent_row:
                 continue
