@@ -13,7 +13,7 @@ Three implementations:
 - :class:`HashEmbedder` — deterministic SHA-256-seeded Gaussian per text; identical text =>
   identical vector. This is the reference's own E2E mock-embedding strategy promoted to a
   first-class test/bench embedder (``/root/reference/tests/test_rag2_e2e.py:46-58``).
-- :class:`BowHashEmbedder` — normalized sum of per-token hash vectors (idf-weighted):
+- :class:`BowHashEmbedder` — normalized sum of per-token hash vectors (unweighted):
   deterministic *and* carries real lexical-overlap similarity structure, so recall@k /
   NDCG@k are measurable without a trained model.
 - ``EncoderEmbedder`` (``models/encoder.py``) — a flax transformer running batched on the
@@ -187,6 +187,11 @@ class BowHashEmbedder(_ImageHashMixin):
     def _token_vec(self, token: str) -> np.ndarray:
         v = self._token_cache.get(token)
         if v is None:
+            if len(self._token_cache) > 65536:
+                # a full-dim f32 vector per unique token (8 KB at 2048-d): large
+                # corpora of IDs/numbers would grow this without bound — same
+                # reason the cheap _tok_cache self-clears
+                self._token_cache.clear()
             g = np.random.default_rng(_seed_from("tok\x00" + token))
             v = g.standard_normal(self.dim).astype(np.float32)
             v /= np.linalg.norm(v)
@@ -232,6 +237,8 @@ class BowHashEmbedder(_ImageHashMixin):
                 key = (d, tok)
                 v = cache.get(key)
                 if v is None:
+                    if len(cache) > 65536:  # bound like _token_cache
+                        cache.clear()
                     g = np.random.default_rng(_seed_from(f"mtok{d}\x00" + tok))
                     v = g.standard_normal(d).astype(np.float32)
                     v /= np.linalg.norm(v)
@@ -291,3 +298,10 @@ class FailSoftEmbedder:
 
     def embed_query(self, text: str) -> np.ndarray:
         return self.inner.embed_query(text)
+
+    def __getattr__(self, name: str):
+        # delegate capabilities beyond the Embedder protocol (token_embeddings,
+        # embed_images, maxsim_calibration, encode_queries_device, ...): wrapping
+        # previously STRIPPED them, silently disabling MaxSim rerank for anyone
+        # passing a FailSoftEmbedder straight to Retriever
+        return getattr(self.inner, name)

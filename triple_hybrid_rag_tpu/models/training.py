@@ -234,15 +234,28 @@ def train_pairs(
     mesh: Optional[Mesh] = None,
     log_every: int = 0,
 ):
-    """Simple host loop over pair batches (index-build-time fitting)."""
+    """Simple host loop over pair batches (index-build-time fitting).
+
+    Fewer pairs than ``batch_size`` shrink the batch instead of silently doing
+    ZERO steps (the old loop range was empty and returned the untouched state
+    with no warning); a tail batch of >= 2 pairs trains too (InfoNCE needs at
+    least one in-batch negative, so a 1-pair tail is dropped)."""
+    batch_size = max(2, min(batch_size, len(pairs)))
     step_fn = make_train_step(model, train_cfg, mesh)
     metrics = {}
+    step = 0
     for _ in range(epochs):
-        for i in range(0, len(pairs) - batch_size + 1, batch_size):
+        for i in range(0, len(pairs), batch_size):
             batch = pairs[i : i + batch_size]
+            if len(batch) < 2:
+                continue  # InfoNCE needs an in-batch negative
             q_batch = encode_batch_with_anchors(hasher, [q for q, _ in batch], model.cfg)
             d_batch = encode_batch_with_anchors(hasher, [d for _, d in batch], model.cfg)
             state, metrics = step_fn(state, *q_batch, *d_batch)
-            if log_every and (i // batch_size) % log_every == 0:
-                jax.block_until_ready(metrics["loss"])
+            if log_every and step % log_every == 0:
+                print(
+                    f"train_pairs step {step}: loss={float(metrics['loss']):.4f} "
+                    f"acc={float(metrics.get('accuracy', 0.0)):.3f}"
+                )
+            step += 1
     return state, {k: float(v) for k, v in metrics.items()}

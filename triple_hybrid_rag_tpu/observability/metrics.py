@@ -27,10 +27,16 @@ def _labels_kv(labels: Optional[Dict[str, str]]) -> LabelKV:
     return tuple(sorted((labels or {}).items()))
 
 
+def _esc(v: str) -> str:
+    # Prometheus exposition escaping: an unescaped quote/backslash/newline in ONE
+    # label value makes the scraper reject the WHOLE /metrics payload
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(kv: LabelKV) -> str:
     if not kv:
         return ""
-    return "{" + ",".join(f'{k}="{v}"' for k, v in kv) + "}"
+    return "{" + ",".join(f'{k}="{_esc(v)}"' for k, v in kv) + "}"
 
 
 class Counter:
@@ -49,7 +55,9 @@ class Counter:
 
     def expose(self) -> List[str]:
         lines = [f"# TYPE {self.name} counter"]
-        for kv, v in sorted(self._values.items()):
+        with self._lock:  # scrapes race concurrent first-seen label inserts
+            items = sorted(self._values.items())
+        for kv, v in items:
             lines.append(f"{self.name}{_fmt_labels(kv)} {v}")
         if len(lines) == 1:
             lines.append(f"{self.name} 0")
@@ -79,7 +87,9 @@ class Gauge:
 
     def expose(self) -> List[str]:
         lines = [f"# TYPE {self.name} gauge"]
-        for kv, v in sorted(self._values.items()):
+        with self._lock:
+            items = sorted(self._values.items())
+        for kv, v in items:
             lines.append(f"{self.name}{_fmt_labels(kv)} {v}")
         if len(lines) == 1:
             lines.append(f"{self.name} 0")
@@ -115,15 +125,20 @@ class Histogram:
 
     def expose(self) -> List[str]:
         lines = [f"# TYPE {self.name} histogram"]
-        for kv in sorted(self._totals):
+        with self._lock:  # consistent snapshot: no torn bucket/sum/count triples
+            snap = [
+                (kv, list(self._counts[kv]), self._sums[kv], self._totals[kv])
+                for kv in sorted(self._totals)
+            ]
+        for kv, counts, total_sum, total in snap:
             base = dict(kv)
             for i, b in enumerate(self.buckets):
                 lbl = _fmt_labels(_labels_kv({**base, "le": str(b)}))
-                lines.append(f"{self.name}_bucket{lbl} {self._counts[kv][i]}")
+                lines.append(f"{self.name}_bucket{lbl} {counts[i]}")
             lbl_inf = _fmt_labels(_labels_kv({**base, "le": "+Inf"}))
-            lines.append(f"{self.name}_bucket{lbl_inf} {self._totals[kv]}")
-            lines.append(f"{self.name}_sum{_fmt_labels(kv)} {self._sums[kv]}")
-            lines.append(f"{self.name}_count{_fmt_labels(kv)} {self._totals[kv]}")
+            lines.append(f"{self.name}_bucket{lbl_inf} {total}")
+            lines.append(f"{self.name}_sum{_fmt_labels(kv)} {total_sum}")
+            lines.append(f"{self.name}_count{_fmt_labels(kv)} {total}")
         return lines
 
 

@@ -199,10 +199,19 @@ def get_default_ocr_fn(config: Optional[RAGConfig] = None) -> Optional[Callable]
     if cfg.ocr_api_base:
         from .models.http_clients import HTTPVisionOCR
 
-        return HTTPVisionOCR(
-            cfg.ocr_api_base, model=cfg.ocr_api_model,
-            timeout_s=cfg.api_timeout_s, retries=cfg.api_retries, api_key=cfg.api_key,
-        )
+        # memoize per config: embed_images resolves the ladder per image, and a
+        # fresh HTTP client object per scanned page is pure ingestion overhead
+        global _HTTP_OCR_SINGLETON
+        if _HTTP_OCR_SINGLETON is None or _HTTP_OCR_SINGLETON[0] != cfg:
+            _HTTP_OCR_SINGLETON = (
+                cfg,
+                HTTPVisionOCR(
+                    cfg.ocr_api_base, model=cfg.ocr_api_model,
+                    timeout_s=cfg.api_timeout_s, retries=cfg.api_retries,
+                    api_key=cfg.api_key,
+                ),
+            )
+        return _HTTP_OCR_SINGLETON[1]
     try:
         import pytesseract  # type: ignore
 
@@ -227,3 +236,4 @@ def get_default_ocr_fn(config: Optional[RAGConfig] = None) -> Optional[Callable]
 
 
 _GLYPH_SINGLETON: Optional[GlyphOCR] = None
+_HTTP_OCR_SINGLETON = None  # (config, HTTPVisionOCR) memo — one client per config

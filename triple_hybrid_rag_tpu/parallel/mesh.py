@@ -31,8 +31,13 @@ def corpus_mesh(
     if n_shards is None:
         n_shards = len(devices) // data_parallel
     need = n_shards * data_parallel
-    if need > len(devices):
-        raise ValueError(f"mesh {data_parallel}x{n_shards} needs {need} devices, have {len(devices)}")
+    if need > len(devices) or n_shards < 1 or data_parallel < 1:
+        # n_shards floor-divides to 0 when data_parallel > device count, which
+        # previously slipped past this guard into a degenerate Nx0 mesh
+        raise ValueError(
+            f"mesh {data_parallel}x{n_shards} needs {max(need, data_parallel)} "
+            f"devices, have {len(devices)}"
+        )
     grid = np.array(devices[:need]).reshape(data_parallel, n_shards)
     return Mesh(grid, ("data", "shard"))
 
