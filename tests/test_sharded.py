@@ -375,3 +375,34 @@ def test_retrieve_batch_retries_numpy_prep_on_device_failure(cfg):
     assert calls["n"] == 2
     assert out[0].results
     assert eng.device_query_encode is True  # fast path restored after the retry
+
+
+def test_embedder_outage_degrades_to_lexical_not_garbage(cfg):
+    """A dead embedder ships zero query vectors; the dense channel must return
+    NOTHING (regression: every row scored exactly 0.0, beating the -2.0 noise
+    floor, so rows 0..k-1 surfaced as 'results' during outages and outvoted
+    genuine lexical hits in fusion)."""
+
+    class DeadEmbedder:
+        dim = 64
+
+        def embed_texts(self, texts):
+            raise RuntimeError("embedder down")
+
+        def embed_query(self, text):
+            raise RuntimeError("embedder down")
+
+    corpus, _ = build_fixture(cfg, with_graph=False)
+    c = cfg.replace(graph_enabled=False, rerank_enabled=False, safety_threshold=0.0)
+    healthy = Retriever(corpus, c)  # builds the index with the working embedder
+    ret = Retriever(
+        corpus, c, embedder=DeadEmbedder(),
+        bm25_index=healthy.bm25_index, dense_index=healthy.dense_index,
+    )
+    eng = ShardedEngine(ret, corpus_mesh())
+    r = eng.retrieve("password reset security portal")
+    assert r.results, "lexical channel must still answer"
+    assert all("password" in x.text.lower() for x in r.results[:1])
+    # dense contributed nothing: no result is semantic-only, none carry a
+    # semantic channel tag
+    assert all("semantic" not in x.source_channels for x in r.results)

@@ -233,6 +233,10 @@ def int4_topk_blocked(
     block = min(block, max(bucket, n))
     while block > 1024 and n % block:
         block //= 2
+    # block must stay a bucket multiple: for small n the min() above sets
+    # block = n, and a non-multiple-of-16 row count (e.g. n_loc on a 6-device
+    # mesh) previously tripped the assert below — round up and pad instead
+    block = ((block + bucket - 1) // bucket) * bucket
     n_pad = ((n + block - 1) // block) * block
     pk, sc, va, co = packed, scales, valid, collection_of
     if n_pad != n:

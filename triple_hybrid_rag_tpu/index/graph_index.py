@@ -54,6 +54,9 @@ class GraphIndex:
     # entity->chunk mention postings (the sparse graph backend) without a
     # device readback — same role as BM25Index.host_csr
     host_chunk_entities: Optional[np.ndarray] = None
+    # entities whose degree exceeded graph_max_degree at build (edges truncated)
+    # — observable recall degradation, mirrored from BM25Index.overflow_docs
+    overflow_entities: int = 0
 
     # ------------------------------------------------------------------
     # lookup / traversal API (PuppyGraphClient parity)
@@ -74,8 +77,8 @@ class GraphIndex:
         self, entity_name: str, hops: Optional[int] = None, limit: Optional[int] = None
     ) -> Tuple[jax.Array, jax.Array]:
         """Chunks reachable from an entity: (chunk rows, graph scores)."""
-        hops = hops or self.config.graph_hops
-        limit = limit or self.config.graph_top_k
+        hops = self.config.graph_hops if hops is None else hops
+        limit = self.config.graph_top_k if limit is None else limit
         ents = self.entity_lookup(entity_name)
         if not ents:
             return (
@@ -316,4 +319,5 @@ def build_graph_index(
         config=config,
         host_adj=host_adj,
         host_chunk_entities=chunk_entities,
+        overflow_entities=overflow,
     )

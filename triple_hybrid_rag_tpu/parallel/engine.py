@@ -77,20 +77,19 @@ def _shard_csr(bm25, n_loc: int, s: int):
     v = lens.shape[0]
     nnz = int(offs[-1])
     pd = np.asarray(pd_full)[:nnz]
+    term_of = np.repeat(np.arange(v, dtype=np.int64), lens)  # O(nnz): compute once
     if bm25.host_weights is not None:
         pw_src = np.asarray(bm25.host_weights)[:nnz]
     else:  # fold weights on host (restored/legacy index without precomputed impacts)
         idf_h = np.asarray(bm25.idf)
         denom_h = np.asarray(bm25.contrib_denom_k1)
         tfs = np.asarray(pt_full)[:nnz]
-        term_of = np.repeat(np.arange(v, dtype=np.int64), lens)
         k1p1 = bm25.config.bm25_k1 + 1.0
         pw_src = idf_h[term_of] * tfs * k1p1 / (
             tfs + denom_h[np.clip(pd, 0, denom_h.shape[0] - 1)]
         )
     pt = pw_src.astype(np.float32)  # engine postings carry PRECOMPUTED weights
 
-    term_of = np.repeat(np.arange(v, dtype=np.int64), lens)
     shard_of = np.minimum(pd // max(n_loc, 1), s - 1).astype(np.int64)
     counts = np.bincount(term_of * s + shard_of, minlength=v * s).reshape(v, s)
 
@@ -442,7 +441,13 @@ class ShardedEngine:
         new = ShardedEngine.__new__(ShardedEngine)
         try:
             ShardedEngine.__init__(new, retriever, self.mesh)
-        except Exception:
+            self.last_refresh_error = None
+        except Exception as e:
+            # a genuine failure (device OOM mid-placement, a build bug) is NOT
+            # "shapes changed" — stash it so the caller's fresh-build retry can
+            # report the original cause when it hits the same wall
+            self.last_refresh_error = e
+            rag_metrics.counter("engine_refresh_errors_total").inc()
             return False
         if (
             new.n_pad != self.n_pad
@@ -683,6 +688,16 @@ class ShardedEngine:
             elif not use_sem:
                 sem_ids = jnp.full((batch, 1), -1, jnp.int32)
                 sem_scores = jnp.zeros((batch, 1), jnp.float32)
+            if use_sem:
+                # zero-vector fail-soft guard: a failed embed ships a zero query
+                # vector, which scores EVERY row exactly 0.0 — above the int8
+                # noise floor — so the channel returned rows 0..k-1 (id
+                # tie-break) as "results" during embedder outages instead of
+                # nothing. An all-zero q_vec silences the channel; fusion then
+                # genuinely degrades to lexical+graph as documented.
+                q_ok = jnp.any(q_vec != 0.0, axis=-1, keepdims=True)  # [B, 1]
+                sem_ids = jnp.where(q_ok, sem_ids, -1)
+                sem_scores = jnp.where(q_ok, sem_scores, 0.0)
 
             # ---- graph ----
             if use_graph:
@@ -934,10 +949,11 @@ class ShardedEngine:
                 sem_texts, max_tokens=cfg.maxsim_query_tokens, dim=cfg.maxsim_dim
             )
             q_tok_mask = np.any(q_tokens_f32 != 0, axis=-1).astype(np.float16)
+            t_real = q_tok_mask.shape[1]  # encoder max_tokens may be < config width
             for i, t in enumerate(sem_texts):
                 # soft function-word downweighting — same helper as the staged path
                 q_tok_mask[i] *= maxsim_query_weights(
-                    t, r.analyzer, cfg.maxsim_query_tokens
+                    t, r.analyzer, t_real
                 ).astype(np.float16)
             q_tokens = q_tokens_f32.astype(np.float16)
         elif q_tokens is None:

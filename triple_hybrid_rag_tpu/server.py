@@ -79,6 +79,11 @@ def result_to_dict(result: RetrievalResult) -> dict:
     }
 
 
+_QID_COUNTER = __import__("itertools").count(int(time.time() * 1e6))
+# monotone per-process trace ids: time.time()*1e6 alone collides for concurrent
+# requests in the same clock tick, interleaving their begin/end trace events
+
+
 class _Pending:
     __slots__ = ("query", "top_k", "collection", "event", "result", "error")
 
@@ -167,6 +172,14 @@ class MicroBatcher:
             batch = self._drain()
             if not batch:
                 if self._closed:
+                    # fail pending requests NOW: abandoning them left their
+                    # handler threads blocked for the full submit timeout
+                    with self._cond:
+                        leftover = list(self._queue)
+                        self._queue.clear()
+                    for p in leftover:
+                        p.error = RuntimeError("server shutting down")
+                        p.event.set()
                     return
                 continue
             queries = [p.query for p in batch]
@@ -256,7 +269,7 @@ class RAGServer:
         collection = payload.get("collection")
         if collection is not None and not isinstance(collection, str):
             raise ValueError("'collection' must be a string")
-        qid = f"q{int(time.time() * 1e6):x}"
+        qid = f"q{next(_QID_COUNTER):x}"
         tracer.query_begin(qid, query)
         with rag_metrics.time("server_query_ms"):
             if self.batcher is not None:
@@ -439,6 +452,12 @@ def make_handler(server_state: RAGServer):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length < 0 or length > 64 * 1024 * 1024:
+                    # negative reads-to-EOF (blocks the handler thread until the
+                    # client hangs up — thread-exhaustion DoS); huge values buffer
+                    # unbounded bodies before json.loads
+                    self._send(400, {"error": "invalid Content-Length"})
+                    return
                 payload = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, UnicodeDecodeError):
                 # ValueError covers json.JSONDecodeError AND a bogus
