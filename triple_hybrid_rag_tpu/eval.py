@@ -194,6 +194,13 @@ def make_eval_corpus(
         queries.append(
             EvalQuery(f"Who works for {company}?", entity_chunks[company], "entity")
         )
+        # the PEOPLE half of the entity ground truth was built but never queried
+        queries.append(
+            EvalQuery(
+                f"How is {person} related to {company}?",
+                entity_chunks[person], "entity",
+            )
+        )
     return EvalCorpus(corpus=store, entity_store=estore, queries=queries)
 
 
@@ -247,7 +254,6 @@ def evaluate_baseline_configs(
         denoise_alpha=0.0,
     )
     data = make_eval_corpus(base, distractors=distractors, hard_negatives=hard_negatives)
-    gidx_cfg = base
     results: Dict[str, Dict[str, float]] = {}
 
     configs = {
@@ -404,10 +410,18 @@ def make_stdlib_eval(
             continue  # keep at least one sentence in the doc
         held_out[int(i)] = str(sents[rng.integers(0, len(sents))])
 
+    import re as _re
+
     for i, (name, text) in enumerate(docs):
         body = text
         if i in held_out:
-            body = body.replace(held_out[i], " ")
+            # whitespace-FLEXIBLE removal: the query sentence was extracted from
+            # newline-collapsed text, but docstrings wrap at ~72 chars, so a
+            # plain substring replace matched almost never and the query stayed
+            # VERBATIM in its document — the eval then measured exact-substring
+            # retrieval, inflating every published number on this corpus
+            pattern = r"\s+".join(_re.escape(w) for w in held_out[i].split())
+            body = _re.sub(pattern, " ", body, count=1)
         doc_id = hashlib.sha256(f"stdlib-{name}".encode()).hexdigest()
         parents, children = chunker.chunk_document(f"# {name}\n\n{body}", doc_id)
         store.add_chunks(parents, children)

@@ -117,5 +117,9 @@ def default_scenarios() -> List[Scenario]:
             {"name": "Acme Corp"},
             [expect_success],
         ),
-        Scenario("unknown_tool_fails_closed", "no_such_tool", {}, []),
+        Scenario(
+            "unknown_tool_fails_closed", "no_such_tool", {},
+            [lambda out: None if out.get("success") is False
+             else "expected fail-closed (success=False) for unknown tool"],
+        ),
     ]

@@ -133,12 +133,19 @@ class HybridSearcher:
                 if cid < 0:
                     continue
                 entry = fused.setdefault(
-                    int(cid), {"rrf": 0.0, "bm25": 0.0, "vector": 0.0, "channels": []}
+                    int(cid),
+                    # -inf sentinels: a 0.0 init clamped legitimate NEGATIVE
+                    # cosine scores, misreporting channel provenance
+                    {"rrf": 0.0, "bm25": -np.inf, "vector": -np.inf, "channels": []},
                 )
                 entry["rrf"] += 1.0 / (sc.rrf_k + rank + 1)
                 entry[channel] = max(entry[channel], float(s))
                 entry["channels"].append(channel)
 
+        for data in fused.values():  # absent channel -> 0.0 (not -inf) in results
+            for ch in ("bm25", "vector"):
+                if data[ch] == -np.inf:
+                    data[ch] = 0.0
         ranked = sorted(fused.items(), key=lambda kv: -kv[1]["rrf"])
         out: List[SearchResult] = []
         for cid, data in ranked:

@@ -77,9 +77,13 @@ class TextHasher:
         self.analyzer = Analyzer(rag_cfg or get_settings())
         self._cache: dict[str, int] = {}
 
+    _CACHE_CAP = 262144  # str->int memo; unbounded growth on ID-heavy corpora
+
     def _tid(self, token: str) -> int:
         v = self._cache.get(token)
         if v is None:
+            if len(self._cache) > self._CACHE_CAP:
+                self._cache.clear()
             v = hash_token(token, self.cfg.vocab_buckets)
             self._cache[token] = v
         return v
@@ -287,8 +291,14 @@ class EncoderEmbedder(_ImageHashMixin):
             out_dim=rag_cfg.embedding_dim_full,
             token_dim=rag_cfg.maxsim_dim,
         )
-        self.model, init_params = init_encoder(self.enc_cfg, seed)
-        self.params = params if params is not None else init_params
+        if params is not None:
+            # skip the full random init + traced dummy forward when weights are
+            # supplied (load_default_encoder already built a template tree —
+            # the discarded second init was pure startup cost)
+            self.model = Encoder(self.enc_cfg)
+            self.params = params
+        else:
+            self.model, self.params = init_encoder(self.enc_cfg, seed)
         self.hasher = TextHasher(self.enc_cfg, rag_cfg)
         self.batch_size = batch_size
         self.dim = self.enc_cfg.out_dim
@@ -329,10 +339,14 @@ class EncoderEmbedder(_ImageHashMixin):
         return self._run(texts)[0]
 
     def embed_query(self, text: str) -> np.ndarray:
-        out = self._run([text])[0]
-        if not np.any(out):
+        # guard on the TOKEN count: with trained weights a token-less input
+        # yields pooled = normalized(pool_proj bias) — a fixed NONZERO direction
+        # — so the old any(out)!=0 check never fired and every stopword-only
+        # query confidently retrieved whatever lies near the bias direction
+        ids, mask = self.hasher.encode([text])
+        if not mask.any():
             raise ValueError(f"query produced no tokens to embed: {text!r}")
-        return out[0]
+        return self._run([text])[0][0]
 
     def token_embeddings(
         self, texts: Sequence[str], max_tokens: Optional[int] = None, dim: Optional[int] = None

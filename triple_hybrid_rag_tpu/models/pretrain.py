@@ -422,7 +422,14 @@ def load_default_encoder(rag_cfg: Optional[RAGConfig] = None, path=None):
     if not path.exists():
         return None
     pool_w2 = getattr(rag_cfg, "encoder_anchor_pool_w2", None)
-    cache_key = (str(path), rag_cfg.maxsim_dim, pool_w2)
+    # the embedder owns a TextHasher(Analyzer) built from rag_cfg: configs with
+    # different tokenization must not share a cached instance (a 'light'-stemmed
+    # hasher silently served a 'none'-stemmed pipeline before)
+    cache_key = (
+        str(path), rag_cfg.maxsim_dim, pool_w2,
+        rag_cfg.analyzer_stemming, rag_cfg.analyzer_strip_accents,
+        rag_cfg.analyzer_min_token_len, rag_cfg.analyzer_languages,
+    )
     if cache_key in _ENCODER_CACHE:
         return _ENCODER_CACHE[cache_key]
     try:
@@ -441,21 +448,12 @@ def load_default_encoder(rag_cfg: Optional[RAGConfig] = None, path=None):
             # text without touching the trained weights or the MaxSim token
             # calibration (anchor_token_w2 stays at the trained value)
             enc_cfg = dataclasses.replace(enc_cfg, anchor_pool_w2=pool_w2)
-        # rebuild the param tree from the template structure
+        # rebuild the param tree from the template structure (shared restore
+        # helper — three hand-rolled copies of this logic had already diverged)
         from .encoder import init_encoder, load_encoder_params
 
         _, template = init_encoder(enc_cfg, seed=0)
-        import jax
-
-        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
-        new_leaves = []
-        for keypath, leaf in leaves_with_path:
-            name = "/".join(str(getattr(k, "key", k)) for k in keypath)
-            arr = npz[name].astype(np.float32)
-            if arr.shape != leaf.shape:
-                raise ValueError(f"shape mismatch for {name}")
-            new_leaves.append(jnp.asarray(arr))
-        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        params = load_encoder_params(template, path)
         emb = EncoderEmbedder(enc_cfg=enc_cfg, rag_cfg=rag_cfg, params=params)
         _ENCODER_CACHE[cache_key] = emb
         return emb
@@ -516,15 +514,9 @@ def train_default_encoder(
             raise ValueError(
                 f"init_params_path EncoderConfig mismatch: {saved} != {want}"
             )
-        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(state.params)
-        new_leaves = []
-        for keypath, leaf in leaves_with_path:
-            name = "/".join(str(getattr(k, "key", k)) for k in keypath)
-            arr = npz[name].astype(np.float32)
-            if arr.shape != leaf.shape:
-                raise ValueError(f"shape mismatch for {name}")
-            new_leaves.append(jnp.asarray(arr))
-        state = state.replace(params=jax.tree_util.tree_unflatten(treedef, new_leaves))
+        from .encoder import load_encoder_params as _restore
+
+        state = state.replace(params=_restore(state.params, init_params_path))
     step_fn = make_train_step(model, tc)
     hasher = TextHasher(train_enc_cfg, get_settings())
     rng = np.random.default_rng(seed)
