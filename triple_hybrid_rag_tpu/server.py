@@ -507,7 +507,14 @@ def serve(
     if prewarm:
         warm_s = state.prewarm()
         rag_metrics.gauge("server_prewarm_seconds").set(warm_s)
-    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    class _Server(ThreadingHTTPServer):
+        # the stdlib default backlog (5) kernel-RSTs concurrent connects while
+        # the micro-batcher holds requests open for its coalescing window —
+        # exactly the burst pattern this server exists to serve
+        request_queue_size = 128
+        daemon_threads = True
+
+    httpd = _Server((host, port), make_handler(state))
     httpd.rag_state = state  # type: ignore[attr-defined]
 
     orig_shutdown = httpd.shutdown
