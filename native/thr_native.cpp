@@ -81,9 +81,14 @@ char fold_codepoint(uint32_t cp) {
   char c = 0;
   if (cp >= 0xC0 && cp < 0x250) c = kFoldLatin[cp - 0xC0];
   else if (cp >= 0x1E00 && cp < 0x1F00) c = kFoldExtAdd[cp - 0x1E00];
+  else if (cp == 0x212A) c = 'k';  // KELVIN SIGN: str.lower() -> 'k'
+  else if (cp == 0x212B) c = 'a';  // ANGSTROM SIGN: lower() -> U+00E5 -> 'a'
   return c == '.' ? 0 : c;
 }
 
+// (U+212A KELVIN SIGN and U+212B ANGSTROM SIGN fold like Python str.lower():
+//  the only two codepoints outside the Latin ranges that lower() maps INTO
+//  them — exhaustively verified against the Python tokenizer)
 // ---- S-stemmer (mirror of analyzer.s_stem) --------------------------------
 
 // English -oes plurals the Portuguese -oes->-ao rule must skip (mirror of

@@ -146,3 +146,23 @@ def test_empty_and_edge_inputs():
 
 def test_build_library_helper():
     assert native.build_library() is True
+
+
+def test_native_folds_kelvin_and_angstrom_signs():
+    """U+212A/U+212B fold like Python str.lower() ('k'/'a') — previously the only
+    two codepoints where the native and Python tokenizers diverged (scientific
+    text: a natively-built index was unqueryable for such terms)."""
+    from triple_hybrid_rag_tpu import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native library not built")
+    from triple_hybrid_rag_tpu.analyzer import Analyzer
+    from triple_hybrid_rag_tpu.config import RAGConfig
+
+    cfg = RAGConfig()
+    text = "temperature 300K kelvin Ångstrom units"
+    py = Analyzer(cfg).tokenize(text)
+    na = native_mod.NativeAnalyzer(cfg)
+    tokens, offs = na.tokenize_batch([text])
+    native_terms = [na.vocab_terms()[t] for t in tokens]
+    assert native_terms == py, (native_terms, py)

@@ -209,7 +209,13 @@ def build_bm25_index(
     # stock instance is purely config-derived, which the C++ path mirrors
     # (parity-tested), so it stays on the fast path.
     stock_analyzer = analyzer is None or type(analyzer) is Analyzer
-    if token_ids is None and vocab is None and stock_analyzer and config.use_native:
+    # the C++ tokenizer ALWAYS accent-folds; with strip_accents=False the python
+    # query analyzer emits accented tokens that would be OOV against a
+    # native-built vocabulary — keep such configs on the python build
+    if (
+        token_ids is None and vocab is None and stock_analyzer
+        and config.use_native and config.analyzer_strip_accents
+    ):
         from .. import native
 
         if native.available():

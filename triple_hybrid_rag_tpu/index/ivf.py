@@ -183,10 +183,26 @@ def ivf_build_local(
     rows_r = rows[perm]
     scales_r = scales[perm] if scales is not None else None
     perm = jnp.where(valid[perm], perm, jnp.int32(n))  # dead slots -> sentinel
-    deq = _dequant_f32(rows_r, scales_r)  # logical dim (2x stored width for int4)
-    blocks = deq.reshape(n // w, w, deq.shape[1])
+    # block centroids computed BLOCKWISE: a full-matrix dequant materializes
+    # ~10x the stored size in temps (AOT-measured 671 MB for a 64 MB int4
+    # shard; ~40+ GB at the certified 8M one-chip scale) — lax.map bounds the
+    # transient to one [w, D] block, matching kmeans_assign's discipline
     alive = (perm < n).reshape(n // w, w, 1).astype(jnp.float32)
-    cent = (blocks * alive).sum(axis=1) / jnp.maximum(alive.sum(axis=1), 1.0)
+
+    def block_centroid(args):
+        r_blk, s_blk, a_blk = args  # [w, stored], [w] | dummy, [w, 1]
+        deq = _dequant_f32(r_blk, s_blk if scales_r is not None else None)
+        return (deq * a_blk).sum(axis=0) / jnp.maximum(a_blk.sum(), 1.0)
+
+    s_blocks = (
+        scales_r.reshape(n // w, w)
+        if scales_r is not None
+        else jnp.zeros((n // w, 1), jnp.float32)  # unused dummy
+    )
+    cent = jax.lax.map(
+        block_centroid,
+        (rows_r.reshape(n // w, w, d), s_blocks, alive),
+    )
     return rows_r, scales_r, perm, cent
 
 
@@ -230,15 +246,9 @@ def ivf_topk_local(
             return jnp.where(ok, s, neg), jnp.where(ok, ids, jnp.int32(2**30))
 
         vals, ids = jax.lax.map(score_block, probe)  # [p, w] x2
-        vals, ids = vals.reshape(-1), ids.reshape(-1)
-        _, s_ids, s_vals = jax.lax.sort((-vals, ids, vals), dimension=-1, num_keys=2)
-        k = min(top_k, s_ids.shape[0])
-        out_i, out_v = s_ids[:k], s_vals[:k]
-        if k < top_k:
-            out_i = jnp.pad(out_i, (0, top_k - k), constant_values=2**30)
-            out_v = jnp.pad(out_v, (0, top_k - k), constant_values=neg)
-        ok = out_v > neg
-        return jnp.where(ok, out_i, -1).astype(jnp.int32), jnp.where(ok, out_v, neg)
+        from ..ops.topk import sort_topk_desc
+
+        return sort_topk_desc(vals.reshape(-1), ids.reshape(-1), top_k)
 
     if row_mask is None:
         ids, vals = jax.lax.map(lambda q: one(q, None), q_vec)

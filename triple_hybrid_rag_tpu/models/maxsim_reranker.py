@@ -46,7 +46,7 @@ class MaxSimReranker:
             safe = jnp.clip(ids, 0, p_pad - 1)
             return calibrate_maxsim(
                 maxsim_scores_pallas(
-                    dequantize_tokens(self.index.tokens[safe]).astype(jnp.float32),
+                    dequantize_tokens(self.index.tokens[safe]).astype(jnp.bfloat16),
                     self.index.mask[safe], q_tokens, q_mask, ids >= 0,
                 ),
                 self.calibration,

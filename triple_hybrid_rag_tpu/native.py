@@ -134,6 +134,11 @@ class NativeAnalyzer:
             blob, len(stop), self.config.analyzer_min_token_len,
             1 if self.config.analyzer_stemming == "light" else 0,
         )
+        # ctypes releases the GIL for the C call, and the handle's vocabulary
+        # (unordered_map) is NOT thread-safe — serialize all native calls
+        import threading
+
+        self._lock = threading.Lock()
 
     def __del__(self):  # pragma: no cover
         try:
@@ -153,12 +158,13 @@ class NativeAnalyzer:
         out_tok = ctypes.POINTER(ctypes.c_int32)()
         out_off = ctypes.POINTER(ctypes.c_int64)()
         n_tok = ctypes.c_int64()
-        self._lib.thr_tokenize(
-            self._h, blob, _i64_ptr(offsets), len(texts), 1 if add_to_vocab else 0,
-            ctypes.byref(out_tok), ctypes.byref(out_off), ctypes.byref(n_tok),
-        )
-        tokens = np.ctypeslib.as_array(out_tok, shape=(n_tok.value,)).copy()
-        offs = np.ctypeslib.as_array(out_off, shape=(len(texts) + 1,)).copy()
+        with self._lock:
+            self._lib.thr_tokenize(
+                self._h, blob, _i64_ptr(offsets), len(texts), 1 if add_to_vocab else 0,
+                ctypes.byref(out_tok), ctypes.byref(out_off), ctypes.byref(n_tok),
+            )
+            tokens = np.ctypeslib.as_array(out_tok, shape=(n_tok.value,)).copy()
+            offs = np.ctypeslib.as_array(out_off, shape=(len(texts) + 1,)).copy()
         return tokens, offs
 
     def token_lists(self, texts: Sequence[str], add: bool = True) -> List[List[int]]:
@@ -166,9 +172,10 @@ class NativeAnalyzer:
         return [tokens[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))]
 
     def vocab_terms(self) -> List[str]:
-        need = self._lib.thr_vocab_dump(self._h, None, 0)
-        buf = ctypes.create_string_buffer(int(need))
-        self._lib.thr_vocab_dump(self._h, buf, need)
+        with self._lock:
+            need = self._lib.thr_vocab_dump(self._h, None, 0)
+            buf = ctypes.create_string_buffer(int(need))
+            self._lib.thr_vocab_dump(self._h, buf, need)
         raw = buf.raw[: int(need)]
         return [s.decode("utf-8") for s in raw.split(b"\0")[:-1]]
 

@@ -202,20 +202,9 @@ def graph_topk_batch(
         cand = jnp.where(
             jnp.take_along_axis(va, jnp.clip(member, 0, n - 1), axis=1), cand, NEG_INF
         )
-    sort_ids = jnp.where(cand > NEG_INF, member, jnp.iinfo(jnp.int32).max)
-    _, sorted_ids, sorted_vals = jax.lax.sort(
-        (-cand, sort_ids, cand), dimension=-1, num_keys=2
-    )
-    if sorted_ids.shape[1] < k:  # tiny corpus: fewer members than k
-        pad = ((0, 0), (0, k - sorted_ids.shape[1]))
-        sorted_ids = jnp.pad(sorted_ids, pad)
-        sorted_vals = jnp.pad(sorted_vals, pad, constant_values=NEG_INF)
-    top_ids, top_vals = sorted_ids[:, :k], sorted_vals[:, :k]
-    okk = top_vals > NEG_INF
-    return (
-        jnp.where(okk, top_ids, -1).astype(jnp.int32),
-        jnp.where(okk, top_vals, NEG_INF),
-    )
+    from .topk import sort_topk_desc
+
+    return sort_topk_desc(cand, member, k)
 
 
 def graph_sparse_topk(

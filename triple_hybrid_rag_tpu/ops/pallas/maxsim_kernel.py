@@ -76,9 +76,14 @@ def maxsim_scores_pallas(
         out_specs=pl.BlockSpec((1, tq, 1), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
-        doc_tokens,
+        # round BOTH operands to bf16 exactly like the XLA reference
+        # (ops/maxsim.maxsim_scores casts doc and query tokens to bf16 before
+        # the f32-accumulating matmul): keeping q in f32 measured ~1e-3
+        # divergence on [0,1] scores — enough to flip candidates sitting at the
+        # 0.6 safety gate between the Pallas and XLA rungs
+        doc_tokens.astype(jnp.bfloat16),
         doc_mask.astype(jnp.int32).reshape(k, 1, td_pad),
-        q_tokens.astype(jnp.float32),
+        q_tokens.astype(jnp.bfloat16),
     )
 
     # trailing reduction in XLA (tiny): clamped masked mean over query tokens

@@ -17,6 +17,38 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+def sort_topk_desc(
+    scores: jax.Array, ids: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """THE canonical (score desc, id asc) top-k tie-break, shared by every op.
+
+    Operates on the trailing axis (any leading batch dims). ``scores`` must
+    already carry NEG_INF in invalid slots; ``ids`` are the candidate ids.
+    Returns (ids i32[..., k], scores f32[..., k]) with -1 / -inf invalid slots,
+    padding when k exceeds the candidate width.
+
+    Every exactness proof in this codebase (shard merge == single device,
+    bucketed == plain top-k, sparse graph == dense scan, full-probe IVF ==
+    exact scan) reduces to all paths sharing THIS ordering — keep it in one
+    place so the contract cannot silently desynchronize.
+    """
+    sort_ids = jnp.where(scores > NEG_INF, ids, jnp.iinfo(jnp.int32).max)
+    _, sorted_ids, sorted_vals = jax.lax.sort(
+        (-scores, sort_ids, scores), dimension=-1, num_keys=2
+    )
+    kk = min(k, scores.shape[-1])
+    top_ids, top_vals = sorted_ids[..., :kk], sorted_vals[..., :kk]
+    if kk < k:
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - kk)]
+        top_ids = jnp.pad(top_ids, pad, constant_values=jnp.iinfo(jnp.int32).max)
+        top_vals = jnp.pad(top_vals, pad, constant_values=NEG_INF)
+    ok = top_vals > NEG_INF
+    return (
+        jnp.where(ok, top_ids, -1).astype(jnp.int32),
+        jnp.where(ok, top_vals, NEG_INF),
+    )
+
+
 def masked_top_k(
     scores: jax.Array,
     k: int,
@@ -68,23 +100,9 @@ def merge_topk(
     flat_scores = scores.reshape(-1)
     flat_ids = ids.reshape(-1).astype(jnp.int32)
     masked = jnp.where(flat_ids < 0, NEG_INF, flat_scores)
-    # lexicographic sort (score desc, id asc) so ties break identically on any mesh
+    # lexicographic (score desc, id asc) so ties break identically on any mesh
     # size — the merged result is bit-identical to a single-device top-k
-    neg_scores = -masked
-    sort_ids = jnp.where(flat_ids < 0, jnp.iinfo(jnp.int32).max, flat_ids)
-    _, sorted_ids, sorted_scores = jax.lax.sort(
-        (neg_scores, sort_ids, masked), dimension=-1, num_keys=2
-    )
-    kk = min(k, flat_ids.shape[0])
-    top_ids, top_scores = sorted_ids[:kk], sorted_scores[:kk]
-    if kk < k:
-        top_ids = jnp.concatenate([top_ids, jnp.full((k - kk,), -1, jnp.int32)])
-        top_scores = jnp.concatenate([top_scores, jnp.full((k - kk,), NEG_INF)])
-    ok = top_scores > NEG_INF
-    return (
-        jnp.where(ok, top_ids, -1).astype(jnp.int32),
-        jnp.where(ok, top_scores, NEG_INF),
-    )
+    return sort_topk_desc(masked, flat_ids, k)
 
 
 def bucketed_masked_top_k_batch(
@@ -141,13 +159,4 @@ def bucketed_masked_top_k_batch(
         + jnp.arange(bucket, dtype=bucket_ids.dtype)[None, None, :]
     ).reshape(b, kk * bucket)
     cand = jnp.take_along_axis(masked, member, axis=1)  # [B, kk*bucket]
-    sort_ids = jnp.where(cand > NEG_INF, member, jnp.iinfo(jnp.int32).max)
-    _, sorted_ids, sorted_vals = jax.lax.sort(
-        (-cand, sort_ids, cand), dimension=-1, num_keys=2
-    )
-    top_ids, top_vals = sorted_ids[:, :k], sorted_vals[:, :k]
-    ok = top_vals > NEG_INF
-    return (
-        jnp.where(ok, top_ids, -1).astype(jnp.int32),
-        jnp.where(ok, top_vals, NEG_INF),
-    )
+    return sort_topk_desc(cand, member, k)
