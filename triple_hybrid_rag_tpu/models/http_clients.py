@@ -360,7 +360,10 @@ class HTTPRerankerFn:
         if first.startswith("yes") or first in _YES_TOKENS:
             return 0.9
         if first.startswith("no") or first in _NO_TOKENS:
-            return 0.6 if "yes" in answer else 0.1
+            # a no-leading answer is irrelevant-leaning even when 'yes' appears
+            # later in a hedge ('No. It does say yes to a different question.')
+            # — 0.6 previously outranked the 0.5 neutral default
+            return 0.4 if "yes" in answer else 0.1
         if "yes" in answer:
             return 0.7
         if "no" in answer:

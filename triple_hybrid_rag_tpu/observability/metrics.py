@@ -163,8 +163,17 @@ class MetricsRegistry:
         self.enabled = enabled
         self._metrics: Dict[str, object] = {}
         self._lock = threading.Lock()
+        self._noop: Dict[type, object] = {}
 
     def _get(self, cls, name: str, help_: str, **kw):
+        if not self.enabled:
+            # honor enabled=False with shared no-op instances (the flag was
+            # previously stored and never consulted — collection still ran)
+            m = self._noop.get(cls)
+            if m is None:
+                m = cls(name, help_, **kw)
+                self._noop[cls] = m
+            return m
         with self._lock:
             m = self._metrics.get(name)
             if m is None:

@@ -217,12 +217,18 @@ def get_default_ocr_fn(config: Optional[RAGConfig] = None) -> Optional[Callable]
 
         from PIL import Image
 
+        # probe the BINARY: a pip-installed pytesseract without the tesseract
+        # executable imports fine but raises at call time — the OCR ladder then
+        # swallowed every page as ('', 0.0) while the working glyph rung below
+        # never got a chance
+        pytesseract.get_tesseract_version()
+
         def tesseract_fn(image: bytes, mode: str = "base"):
             img = Image.open(io.BytesIO(image))
             return pytesseract.image_to_string(img)
 
         return tesseract_fn
-    except ImportError:
+    except Exception:
         pass
     try:
         import PIL  # noqa: F401

@@ -31,6 +31,7 @@ _XL_T = re.compile(rb"<t(?: [^>]*)?>(.*?)</t>", re.DOTALL)
 _XL_ROW = re.compile(rb"<row[ >].*?</row>", re.DOTALL)
 _XL_CELL = re.compile(rb'<c(?: [^>]*?)?(?: t="([^"]*)")?(?: [^>]*)?>(.*?)</c>', re.DOTALL)
 _XL_V = re.compile(rb"<v>(.*?)</v>", re.DOTALL)
+_XL_REF = re.compile(rb'r="([A-Z]+)\d+"')
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
 
@@ -38,9 +39,13 @@ _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'
 def _unescape(raw: bytes) -> str:
     text = raw.decode("utf-8", errors="replace")
     text = re.sub(r"<[^>]+>", "", text)  # strip nested tags (e.g. w:tab)
-    for ent, ch in _ENTITIES.items():
-        text = text.replace(ent, ch)
-    return text
+    # ONE pass so '&amp;lt;' -> '&lt;' (replacing '&amp;' first then '&lt;'
+    # double-unescaped literal entity text)
+    return re.sub(
+        r"&(amp|lt|gt|quot|apos);",
+        lambda m: {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}[m.group(1)],
+        text,
+    )
 
 
 def extract_docx_text(data: bytes) -> str:
@@ -55,7 +60,10 @@ def extract_docx_text(data: bytes) -> str:
         rows = []
         for tr in _W_TR.finditer(m.group(0)):
             cells = [
-                " ".join(_unescape(t) for t in _W_TEXT.findall(tc.group(0))).strip()
+                # runs join with '' (Word splits single words across w:t runs);
+                # paragraphs inside one cell would need w:p handling, which the
+                # space-join wrongly simulated at the cost of splitting words
+                "".join(_unescape(t) for t in _W_TEXT.findall(tc.group(0))).strip()
                 for tc in _W_TC.finditer(tr.group(0))
             ]
             rows.append(cells)
@@ -68,25 +76,34 @@ def extract_docx_text(data: bytes) -> str:
 
     xml = _W_TBL.sub(table_md, xml)
 
+    # walk body segments BETWEEN table placeholders so tables keep their
+    # document position (they are body-level siblings of w:p, so a placeholder
+    # can never appear inside a paragraph match — appending them all at the end
+    # detached mid-document tables from their sections)
     parts: List[str] = []
-    consumed_spans: List[tuple] = []
-    for p in _W_P.finditer(xml):
-        block = p.group(0)
-        text = "".join(_unescape(t) for t in _W_TEXT.findall(block)).strip()
-        if not text:
-            continue
-        style = _W_STYLE.search(block)
-        if style:
-            lvl = _HEADING_LEVEL.search(style.group(1))
-            if lvl:
-                text = "#" * int(lvl.group(1)) + " " + text
-        parts.append(text)
-    out = "\n\n".join(parts)
-    # restore table placeholders (they live outside w:p matches; append any unseen)
-    for i, tbl in enumerate(tables):
-        ph = f"\x00TBL{i}\x00"
-        out = out.replace(ph, tbl) if ph in out else out + "\n\n" + tbl
-    return out.strip()
+
+    def emit_paragraphs(segment: bytes) -> None:
+        for p in _W_P.finditer(segment):
+            block = p.group(0)
+            text = "".join(_unescape(t) for t in _W_TEXT.findall(block)).strip()
+            if not text:
+                continue
+            style = _W_STYLE.search(block)
+            if style:
+                lvl = _HEADING_LEVEL.search(style.group(1))
+                if lvl:
+                    text = "#" * int(lvl.group(1)) + " " + text
+            parts.append(text)
+
+    pos = 0
+    for ph in re.finditer(rb"\x00TBL(\d+)\x00", xml):
+        emit_paragraphs(xml[pos : ph.start()])
+        idx = int(ph.group(1))
+        if 0 <= idx < len(tables):
+            parts.append(tables[idx])
+        pos = ph.end()
+    emit_paragraphs(xml[pos:])
+    return "\n\n".join(parts).strip()
 
 
 def extract_xlsx_tables(data: bytes) -> List[str]:
@@ -96,9 +113,17 @@ def extract_xlsx_tables(data: bytes) -> List[str]:
         if "xl/sharedStrings.xml" in zf.namelist():
             for si in _XL_SHARED.finditer(zf.read("xl/sharedStrings.xml")):
                 shared.append("".join(_unescape(t) for t in _XL_T.findall(si.group(0))))
+        def _sheet_no(name: str) -> int:
+            m = re.search(r"sheet(\d+)\.xml$", name)
+            return int(m.group(1)) if m else 0
+
+        # numeric order: lexicographic put sheet10 before sheet2
         sheets = sorted(
-            n for n in zf.namelist()
-            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            (
+                n for n in zf.namelist()
+                if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+            ),
+            key=_sheet_no,
         )
         out: List[str] = []
         for name in sheets:
@@ -107,6 +132,16 @@ def extract_xlsx_tables(data: bytes) -> List[str]:
             for row in _XL_ROW.finditer(xml):
                 cells: List[str] = []
                 for c in _XL_CELL.finditer(row.group(0)):
+                    # place by the r="C1" reference: Excel OMITS blank cells
+                    # from the XML, and positional append shifted later values
+                    # into the wrong columns
+                    ref = _XL_REF.search(c.group(0))
+                    if ref is not None:
+                        col = 0
+                        for ch in ref.group(1).decode():
+                            col = col * 26 + (ord(ch) - 64)
+                        while len(cells) < col - 1:
+                            cells.append("")
                     ctype, body = c.group(1), c.group(2)
                     v = _XL_V.search(body)
                     if ctype == b"s" and v is not None:

@@ -24,7 +24,11 @@ from typing import List
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
-_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# BT/ET must be standalone operators: raw substrings match the ET inside
+# uppercase text like (MARKET) and truncate the block, dropping the page
+_TEXT_BLOCK_RE = re.compile(
+    rb"(?:^|[\s>\]])BT(?P<body>.*?)(?:^|[\s)\]>])ET(?=[\s/\[<(]|$)", re.DOTALL
+)
 
 # text-showing and positioning operators inside a BT/ET block
 _OP_RE = re.compile(
@@ -119,7 +123,14 @@ def _extract_block_text(block: bytes) -> str:
                             parts.append(" ")
                     except ValueError:
                         pass
-        elif m.group("move") is not None or m.group("tstar") is not None:
+        elif m.group("move") is not None:
+            # dy == 0 is a horizontal word-positioning move, not a line break
+            try:
+                dy = float(m.group("move").split()[1])
+            except (ValueError, IndexError):
+                dy = 1.0
+            parts.append(" " if dy == 0 else "\n")
+        elif m.group("tstar") is not None:
             parts.append("\n")
     return "".join(parts)
 
@@ -145,7 +156,7 @@ def extract_pdf_text(data: bytes) -> List[str]:
             if b"BT" not in content:
                 continue
             text_parts = [
-                _extract_block_text(b.group(1)) for b in _TEXT_BLOCK_RE.finditer(content)
+                _extract_block_text(b.group("body")) for b in _TEXT_BLOCK_RE.finditer(content)
             ]
             text = "\n".join(p for p in text_parts if p.strip())
             # collapse PDF-operator artifacts
