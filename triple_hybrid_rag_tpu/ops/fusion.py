@@ -107,7 +107,10 @@ def fuse_rrf(
         lv = (lex_ids >= 0).astype(jnp.float32)
         n_lex = jnp.sum(lv)
         s0 = lex_scores[0]
-        s1 = jnp.where(lex_ids.shape[0] > 1, lex_scores[1], 0.0)
+        # STATIC width check as a python conditional: a runtime jnp.where would
+        # evaluate lex_scores[1] on the width-1 disabled-channel placeholder,
+        # silently relying on gather clamping for an out-of-bounds index
+        s1 = lex_scores[1] if lex_scores.shape[0] > 1 else jnp.float32(0.0)
         margin = jnp.where(
             n_lex >= 2.0, (s0 - s1) / jnp.maximum(s0, 1e-9), 0.0
         )
@@ -207,7 +210,12 @@ def apply_safety_denoise(
     max_score = jnp.where(has_any, max_score, 0.0)
     refused = jnp.logical_or(~has_any, max_score < threshold)
 
-    keep = valid & (gate >= alpha * max_score) & ~refused
+    # alpha*max exceeds max when max is NEGATIVE (out-of-domain queries with
+    # all-negative calibrated scores dropped EVERYTHING without refusing);
+    # min(alpha*max, max) keeps the alpha rule for positive maxima and always
+    # preserves the argmax — the denoise invariant
+    cutoff = jnp.minimum(alpha * max_score, max_score)
+    keep = valid & (gate >= cutoff) & ~refused
     key = jnp.where(keep, scores, NEG_INF)
     vals, order = jax.lax.top_k(key, top_k)
     ok = vals > NEG_INF

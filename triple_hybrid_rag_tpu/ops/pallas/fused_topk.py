@@ -113,10 +113,10 @@ def _int4_acc(p_ref, q_ref):
     shifts, sign-extending), then two half-width int8 MXU matmuls. The pack
     layout (column j low nibble, column j+D/2 high nibble — see
     index/dense_index.quantize_rows_int4) makes the split interleave-free."""
-    p = p_ref[:].astype(jnp.int32)  # uint8[rows, D/2] zero-extended
-    low = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
-    high = jnp.right_shift(jnp.left_shift(p, 24), 28).astype(jnp.int8)
-    d2 = p.shape[1]
+    from ...index.dense_index import unpack_int4
+
+    low, high = unpack_int4(p_ref[:])  # shared sign-extension (one pack layout)
+    d2 = low.shape[1]
     dims = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(
         low, q_ref[:, :d2], dimension_numbers=dims,
@@ -244,7 +244,11 @@ def bucket_maxima_pallas(
         kernel = functools.partial(
             _kernel_float_scoped if scoped else _kernel_float, bucket=bucket)
 
-    flops = 2 * n * d * b
+    # int4 packs two logical columns per stored byte: the kernel's two
+    # half-width int8 matmuls total 2*n*(2d)*b MACs, so d must be the
+    # LOGICAL width or the scheduler hint undercounts the work 2x
+    d_logical = d * 2 if embeddings.dtype == jnp.uint8 else d
+    flops = 2 * n * d_logical * b
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -267,26 +271,13 @@ def _final_candidates_topk(
     k: int,
     invalid_score_floor: float,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact (score desc, id asc) selection — masked_top_k tie-break parity."""
+    """Exact (score desc, id asc) selection via THE shared tie-break helper."""
+    from ..topk import sort_topk_desc
+
     masked = jnp.where(
         cand_valid & (cand_scores > invalid_score_floor), cand_scores, NEG_INF
     )
-    sort_ids = jnp.where(masked > NEG_INF, cand_ids, jnp.iinfo(jnp.int32).max)
-    _, sorted_ids, sorted_scores = jax.lax.sort(
-        (-masked, sort_ids, masked), dimension=-1, num_keys=2
-    )
-    c = cand_ids.shape[-1]
-    kk = min(k, c)
-    top_ids, top_scores = sorted_ids[..., :kk], sorted_scores[..., :kk]
-    if kk < k:
-        pad = ((0, 0), (0, k - kk))
-        top_ids = jnp.pad(top_ids, pad, constant_values=jnp.iinfo(jnp.int32).max)
-        top_scores = jnp.pad(top_scores, pad, constant_values=NEG_INF)
-    ok = top_scores > NEG_INF
-    return (
-        jnp.where(ok, top_ids, -1).astype(jnp.int32),
-        jnp.where(ok, top_scores, NEG_INF),
-    )
+    return sort_topk_desc(masked, cand_ids, k)
 
 
 @functools.partial(

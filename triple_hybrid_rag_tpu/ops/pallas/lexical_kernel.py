@@ -28,7 +28,10 @@ def _kernel(q_ref, ids_ref, w_ref, out_ref):
     match = jnp.zeros(ids.shape, dtype=jnp.bool_)
     for j in range(q_slots):  # static unroll over query slots
         match = match | (ids == q_ref[j, 0])
-    out_ref[:, 0] = jnp.sum(jnp.where(match, w_ref[:], 0.0), axis=1)
+    # cast per-block in VMEM: a host-side .astype(f32) materialized a full
+    # f32 copy of a bf16 table in HBM on every query batch
+    w = w_ref[:].astype(jnp.float32)
+    out_ref[:, 0] = jnp.sum(jnp.where(match, w, 0.0), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -60,5 +63,5 @@ def score_termtable_pallas(
         ],
         out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(query_terms.reshape(q, 1), term_ids, term_weights.astype(jnp.float32))
+    )(query_terms.reshape(q, 1), term_ids, term_weights)
     return out.reshape(n_pad)[:n]
