@@ -171,8 +171,12 @@ def fuse_query(
         # lexical by rank-RRF; semantic contributes its *absolute* cosine —
         # a low-confidence dense hit adds little even at rank 1
         sem_raw = np.asarray([max(pool[d]["sem_raw"], 0.0) for d in docs], np.float32)
+        # lexical-only base = total RRF minus the semantic channel's RRF mass
+        # (a stray '* 0.0' previously made the base FULL RRF, double-counting
+        # semantic evidence — every abs-sem row in older fusion_lab.json
+        # measured a different strategy than documented)
         lex_rrf = np.asarray(
-            [pool[d]["rrf"] - ws * pool[d]["sem"] * 0.0 for d in docs], np.float32
+            [pool[d]["rrf"] - ws * pool[d]["sem"] for d in docs], np.float32
         )
         key = lex_rrf * (1.0 + blend * sem_raw)
     else:
@@ -184,9 +188,12 @@ def fuse_query(
 
 
 def _metrics(ranked: np.ndarray, relevant: set, k: int = 10):
+    # SAME metric definitions as the pipeline eval (recall denominator is
+    # |relevant|, not min(|relevant|, k)) — the lab's self-check against
+    # recorded pipeline numbers silently compared different metrics before
     top = ranked[:k]
     hits = [1.0 if int(d) in relevant else 0.0 for d in top]
-    recall = sum(hits) / max(1, min(len(relevant), k)) if relevant else 0.0
+    recall = sum(hits) / len(relevant) if relevant else 0.0
     dcg = sum(h / np.log2(i + 2.0) for i, h in enumerate(hits))
     ideal = sum(1.0 / np.log2(i + 2.0) for i in range(min(len(relevant), k)))
     return recall, (dcg / ideal if ideal > 0 else 0.0)

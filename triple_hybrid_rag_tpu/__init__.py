@@ -77,7 +77,16 @@ __all__ = [
     "content_hash",
     "file_hash_bytes",
     "__version__",
+    # lazily imported via __getattr__ (PEP 562) — listed here so star-imports,
+    # dir() and IDE completion see the advertised facade
+    "RAG",
+    "Retriever",
+    "Ingestor",
 ]
+
+
+def __dir__():
+    return sorted(set(list(globals()) + __all__))
 
 
 def __getattr__(name: str):

@@ -57,11 +57,30 @@ class MaxSimIndex:
         return MaxSimIndex(tokens=toks, mask=mask, n_parents=new_total, config=self.config)
 
     def score_candidates(
-        self, parent_rows: jax.Array, q_tokens: jax.Array, q_mask: jax.Array
+        self,
+        parent_rows: jax.Array,
+        q_tokens: jax.Array,
+        q_mask: jax.Array,
+        use_pallas: bool = False,
+        interpret: bool = False,
     ) -> jax.Array:
-        """f32[K] MaxSim scores for candidate parent rows (-1 invalid)."""
+        """f32[K] MaxSim scores for candidate parent rows (-1 invalid).
+
+        ``use_pallas`` switches the scoring backend; the candidate clip/gather/
+        validity semantics live HERE for both rungs (the reranker previously
+        re-implemented them inline for the Pallas path — the kind of drift the
+        bf16-parity fix showed this code is sensitive to)."""
         p_pad = self.tokens.shape[0]
         safe = jnp.clip(parent_rows, 0, p_pad - 1)
+        if use_pallas:
+            from ..ops.maxsim import dequantize_tokens
+            from ..ops.pallas import maxsim_scores_pallas
+
+            return maxsim_scores_pallas(
+                dequantize_tokens(self.tokens[safe]).astype(jnp.bfloat16),
+                self.mask[safe], q_tokens, q_mask, parent_rows >= 0,
+                interpret=interpret,
+            )
         return maxsim_scores(
             self.tokens[safe], self.mask[safe], q_tokens, q_mask, parent_rows >= 0
         )

@@ -37,20 +37,8 @@ class MaxSimReranker:
         if q_tokens is None or q_mask is None:
             # degradation rung: no token-level query context -> normalized fused order
             return minmax_normalize(ids, fused_scores)
-        if self.config.use_pallas and jax.devices()[0].platform != "cpu":
-            from ..ops.maxsim import dequantize_tokens
-            from ..ops.pallas import maxsim_scores_pallas
-            import jax.numpy as jnp
-
-            p_pad = self.index.tokens.shape[0]
-            safe = jnp.clip(ids, 0, p_pad - 1)
-            return calibrate_maxsim(
-                maxsim_scores_pallas(
-                    dequantize_tokens(self.index.tokens[safe]).astype(jnp.bfloat16),
-                    self.index.mask[safe], q_tokens, q_mask, ids >= 0,
-                ),
-                self.calibration,
-            )
+        use_pallas = self.config.use_pallas and jax.devices()[0].platform != "cpu"
         return calibrate_maxsim(
-            self.index.score_candidates(ids, q_tokens, q_mask), self.calibration
+            self.index.score_candidates(ids, q_tokens, q_mask, use_pallas=use_pallas),
+            self.calibration,
         )

@@ -28,6 +28,8 @@ def corpus_mesh(
     BASELINE.json (8-way corpus sharding, per-shard exact search, ICI merge).
     """
     devices = list(devices if devices is not None else jax.devices())
+    if data_parallel < 1:
+        raise ValueError(f"data_parallel must be >= 1, got {data_parallel}")
     if n_shards is None:
         n_shards = len(devices) // data_parallel
     need = n_shards * data_parallel
@@ -57,10 +59,27 @@ def multislice_mesh(
     Device order must enumerate slice-by-slice (JAX's default for multislice jobs).
     """
     devices = list(devices if devices is not None else jax.devices())
+    if n_slices < 1 or shards_per_slice < 1 or data_per_slice < 1:
+        raise ValueError(
+            f"multislice_mesh({n_slices=}, {shards_per_slice=}, {data_per_slice=}) "
+            "needs positive dimensions"
+        )
     need = n_slices * data_per_slice * shards_per_slice
     if need > len(devices):
         raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
     grid = np.array(devices[:need]).reshape(n_slices * data_per_slice, shards_per_slice)
+    # the whole point of this layout is that a shard row NEVER crosses a slice
+    # boundary (per-query collectives must ride ICI): on real multislice jobs
+    # devices expose slice_index — verify instead of silently building the
+    # DCN-spanning mesh this function exists to prevent
+    slice_ids = np.array(
+        [[getattr(d, "slice_index", 0) or 0 for d in row] for row in grid]
+    )
+    if (slice_ids != slice_ids[:, :1]).any():
+        raise ValueError(
+            "a shard row spans slice boundaries (per-query all_gather would ride "
+            f"DCN): shards_per_slice={shards_per_slice} does not fit one slice"
+        )
     return Mesh(grid, ("data", "shard"))
 
 
@@ -70,5 +89,3 @@ def single_device_mesh(device: Optional[jax.Device] = None) -> Mesh:
     return Mesh(np.array([[device]]), ("data", "shard"))
 
 
-def shard_count(mesh: Mesh) -> int:
-    return mesh.shape["shard"]
