@@ -31,10 +31,50 @@ single-query numbers can be read against this dev chip's tunneled-dispatch overh
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Bounded backend-availability probe BEFORE any in-process jax init.
+
+    The axon tunnel's TPU backend can block indefinitely on init when the relay
+    is down (round-2 post-mortem: BENCH_r02 rc=1 with a 120-line stack tail,
+    MULTICHIP_r02 rc=124). Probing in a kill-able subprocess turns that failure
+    mode into ONE parseable JSON diagnostic line on stdout + fast nonzero exit.
+    """
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "triple_hybrid_e2e_batched_query_latency_1M_chunks",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": "backend_unavailable",
+            "detail": f"jax.devices() did not return within {timeout_s:.0f}s "
+                      "(TPU relay down or tunnel hung); no measurement taken",
+        }))
+        sys.exit(1)
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+        print(json.dumps({
+            "metric": "triple_hybrid_e2e_batched_query_latency_1M_chunks",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": "backend_init_failed",
+            "detail": " | ".join(tail)[:500],
+        }))
+        sys.exit(1)
+    print(f"backend probe ok: {proc.stdout.strip()}", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    _probe_backend()
 
 import jax
 import jax.numpy as jnp
