@@ -348,6 +348,53 @@ def test_graph_backend_auto_policy(cfg):
     assert eng3.graph_mode == "dense"
 
 
+def test_graph_small_batch_sparse_override(cfg):
+    """When auto falls back to the dense scan (activation bound exceeds the
+    slot budget), narrow programs (batch <= graph_sparse_max_batch) still take
+    the sparse mention-CSR path — the dense chunk_entities scan is batch-
+    independent and dominates single-query device time. The override compiles
+    the SAME kernel + slot budget as an explicit graph_backend="sparse" engine,
+    so their results must match bit-exactly (including the documented top-slots
+    approximation both apply when the budget truncates activation)."""
+    corpus, gidx = build_fixture(cfg)
+    # slots far below the pessimistic width-based bound -> auto picks dense
+    c = cfg.replace(graph_active_slots=2)
+    eng = ShardedEngine(Retriever(corpus, c, graph_index=gidx), corpus_mesh())
+    assert eng.graph_mode == "dense" and eng.graph_small_sparse
+    ref = ShardedEngine(
+        Retriever(corpus, c.replace(graph_backend="sparse"), graph_index=gidx),
+        corpus_mesh(),
+    )
+    assert ref.graph_mode == "sparse"
+    assert eng.graph_active == ref.graph_active == 2
+    queries = [
+        "How is Acme Corp related to document 3? payment invoice",
+        "fox wildlife forest habitat",
+        "password reset security portal",
+        "contract termination clause notice",
+        "invoice settlement detail",
+        "Acme Corp document wildlife",
+    ]
+    for q in queries:  # batch 1 <= graph_sparse_max_batch -> sparse path
+        rn = eng.retrieve(q)
+        rs = ref.retrieve(q)
+        assert rn.refused == rs.refused, q
+        assert [x.chunk_id for x in rn.results] == [x.chunk_id for x in rs.results], q
+        for a, b in zip(rn.results, rs.results):
+            assert abs(a.final_score - b.final_score) < 1e-6
+    # wide batches keep the dense (exact) program: identical to a pure-dense
+    # engine at the same width
+    dense_only = ShardedEngine(
+        Retriever(corpus, c.replace(graph_sparse_max_batch=0), graph_index=gidx),
+        corpus_mesh(),
+    )
+    assert dense_only.graph_mode == "dense" and not dense_only.graph_small_sparse
+    rw = eng.retrieve_batch(queries)
+    rd = dense_only.retrieve_batch(queries)
+    for a, b in zip(rw, rd):
+        assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
+
+
 def test_retrieve_batch_retries_numpy_prep_on_device_failure(cfg):
     """An async device failure surfacing at device_get must trigger ONE retry
     through the numpy prep path (fail-soft ladder), then restore the fast path."""

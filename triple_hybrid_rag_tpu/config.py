@@ -198,6 +198,19 @@ class RAGConfig:
     # reference's Cypher keyword search LIMITs chunk lists the same way —
     # puppygraph.py:340-399). auto only picks sparse when nothing was capped.
     graph_active_slots: int = 1024  # activated-entity slots per query (sparse)
+    # Small-batch sparse override: compiled programs whose per-replica batch
+    # width is <= this use the sparse mention-CSR path even when the engine's
+    # large-batch mode is the dense scan. The dense chunk_entities scan is
+    # batch-INDEPENDENT (~57 ms of a 70 ms batch-1 program at 1M chunks,
+    # eval_results/channels_b1_1m.json) so it dominates single-query latency,
+    # while the sparse path's work is per-query (activated mentions) and tiny
+    # at batch 1. When the worst-case activation bound exceeds
+    # graph_active_slots the small-batch path keeps the top-slots activated
+    # entities by k-hop score (documented approximation: chunks whose best
+    # entity falls below the cut can miss; hop-0/1 seeds always fit — the
+    # reference's Cypher walk LIMITs its entity/chunk lists far harder,
+    # puppygraph.py:340-399). Set 0 to disable (exact dense at every width).
+    graph_sparse_max_batch: int = 4
 
     # ---- rerank / late interaction (SURVEY §5.7) ----
     rerank_backend: str = "maxsim"  # "maxsim" | "dot" | "none"

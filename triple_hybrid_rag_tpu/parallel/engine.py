@@ -354,6 +354,11 @@ class ShardedEngine:
         self.graph_mode = "none"
         self.graph_active = 1
         self.g_l_max = 1
+        # small-batch sparse override: True when the large-batch mode is the
+        # dense scan but the mention CSR is ALSO placed so programs with batch
+        # <= cfg.graph_sparse_max_batch take the sparse path (the dense scan is
+        # batch-independent and dominates single-query latency; see config)
+        self.graph_small_sparse = False
         # run bound for the sparse path's segmented max: a chunk matches at most
         # M mention slots regardless of how many entities are activated
         self._graph_m = int(gx.chunk_entities.shape[1]) if gx is not None else 1
@@ -371,21 +376,29 @@ class ShardedEngine:
                     bound += reach
                 bound = min(cfg.graph_max_seeds * bound, gx.e_pad)
                 a_slots = min(bound, cfg.graph_active_slots)
+                want_small = cfg.graph_sparse_max_batch > 0
                 # cheap slot-budget check FIRST: under "auto", a high-degree
-                # graph falls back to dense without paying the mention-CSR
-                # build (host lexsort over N*M pairs) it would only discard
-                if backend == "sparse" or bound <= cfg.graph_active_slots:
+                # graph only pays the mention-CSR build (host lexsort over N*M
+                # pairs) when the small-batch override will actually use it
+                if (
+                    backend == "sparse"
+                    or bound <= cfg.graph_active_slots
+                    or want_small
+                ):
                     g_off, g_len, g_docs, l_max_g, truncated = _shard_mentions(
                         ce_host, self.n_loc, s, gx.e_pad, cfg.graph_mention_cap
                     )
                     exact = (not truncated) and bound <= cfg.graph_active_slots
-                    if backend == "sparse" or exact:
-                        self.graph_mode = "sparse"
+                    if backend == "sparse" or exact or want_small:
                         self.graph_active = a_slots
                         self.g_l_max = l_max_g
                         self.g_offsets = shard_stacked(g_off, 2)
                         self.g_lengths = shard_stacked(g_len, 2)
                         self.g_docs = shard_stacked(g_docs, 2)
+                        if backend == "sparse" or exact:
+                            self.graph_mode = "sparse"
+                        else:
+                            self.graph_small_sparse = True
             if self.graph_mode != "sparse":
                 self.graph_mode = "dense"
                 self.chunk_entities = shard_rows(gx.chunk_entities, 2)
@@ -400,7 +413,7 @@ class ShardedEngine:
                 jnp.full((s, 1), -1, jnp.int32),
                 NamedSharding(self.mesh, P("shard", None)),
             )
-        if self.graph_mode != "sparse":
+        if self.graph_mode != "sparse" and not self.graph_small_sparse:
             self.g_offsets = shard_stacked(jnp.zeros((s, 2), jnp.int32), 2)
             self.g_lengths = shard_stacked(jnp.zeros((s, 1), jnp.int32), 2)
             self.g_docs = shard_stacked(jnp.full((s, 2), -1, jnp.int32), 2)
@@ -455,6 +468,7 @@ class ShardedEngine:
             or new.lexical_mode != self.lexical_mode
             or new.e_pad != self.e_pad
             or new.graph_mode != self.graph_mode
+            or new.graph_small_sparse != self.graph_small_sparse
             or new.graph_active != self.graph_active
             or new.g_l_max != self.g_l_max
             or new._graph_m != self._graph_m
@@ -538,6 +552,17 @@ class ShardedEngine:
         n_loc = self.n_loc
         l_max = self.lex_l_max
         graph_mode = self.graph_mode
+        if (
+            graph_mode == "dense"
+            and self.graph_small_sparse
+            and batch <= cfg.graph_sparse_max_batch
+        ):
+            # small-batch override: the dense chunk_entities scan is batch-
+            # independent (it dominates a batch-1 program), the sparse mention
+            # walk is per-query — so narrow programs compile the sparse path.
+            # Beyond graph_active_slots activated entities this keeps the
+            # top-slots by k-hop score (documented approximation; see config).
+            graph_mode = "sparse"
         graph_a = self.graph_active
         g_l_max = self.g_l_max
         graph_m = self._graph_m
