@@ -174,8 +174,14 @@ def main() -> int:
         ts = np.linspace(0.0, 1.0, 201)
         tpr = np.array([np.mean(irr_scores < t) for t in ts])
         fpr = np.array([np.mean(rel_scores < t) for t in ts])
+        # close the curve at (1,1): gate scores saturate at exactly 1.0 (rank-1
+        # self-consistent hits), so P(score < t) never reaches 1.0 for t <= 1.0
+        # and the raw trapezoid would integrate a TRUNCATED curve (reported
+        # 0.44 on a visibly near-perfect separation before this fix)
+        tpr = np.append(tpr, 1.0)
+        fpr = np.append(fpr, 1.0)
         auc = float(np.trapezoid(tpr, fpr))
-        youden = ts[int(np.argmax(tpr - fpr))]
+        youden = ts[int(np.argmax(tpr[:-1] - fpr[:-1]))]
         sweep = {
             f"{t:.2f}": {
                 "irrelevant_refused": float(np.mean(irr_scores < t)),
