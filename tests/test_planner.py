@@ -56,6 +56,23 @@ def test_graph_disabled_config():
     assert not plan.requires_graph
 
 
+def test_relational_intent_scales_text_channels():
+    cfg = RAGConfig()
+    plan = RuleBasedPlanner(cfg).plan("The class ShutilError belongs to which module?")
+    assert plan.intent in ("relational", "entity_lookup")
+    assert plan.requires_graph
+    assert plan.weights["lexical"] == cfg.lexical_weight * cfg.planner_relational_text_scale
+    assert plan.weights["semantic"] == cfg.semantic_weight * cfg.planner_relational_text_scale
+    assert plan.weights["graph"] == cfg.graph_weight  # graph keeps full weight
+
+
+def test_relational_scale_disabled_at_one():
+    cfg = RAGConfig(planner_relational_text_scale=1.0)
+    plan = RuleBasedPlanner(cfg).plan("The class ShutilError belongs to which module?")
+    assert plan.weights["lexical"] == cfg.lexical_weight
+    assert plan.weights["semantic"] == cfg.semantic_weight
+
+
 def test_portuguese_triggers():
     plan = _planner().plan("Quem trabalha para Acme Corp?")
     assert plan.requires_graph

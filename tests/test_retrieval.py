@@ -137,6 +137,32 @@ def test_plan_weights_respected(cfg):
             assert res.rrf_score == 0.0
 
 
+def test_relational_blend_uses_fused_ranks(cfg):
+    """A relational plan switches the ordering blend to rerank_blend_rrf_relational:
+    at 1.0 the final ordering must equal the rerank-disabled (pure fused-RRF)
+    ordering even though rerank runs."""
+    from triple_hybrid_rag_tpu.types import QueryPlan
+
+    class RelationalPlanner:
+        def plan(self, q, collection=None):
+            return QueryPlan(
+                original_query=q, keywords=["invoice", "payment"],
+                semantic_query_text=q, requires_graph=True, intent="relational",
+                weights={"lexical": 1.0, "semantic": 0.8, "graph": 0.0},
+            )
+
+    c_rrf = cfg.replace(rerank_enabled=False)
+    ret_rrf = Retriever(build_corpus(c_rrf), c_rrf)
+    ret_rrf.planner = RelationalPlanner()
+    want = [r.chunk_id for r in ret_rrf.retrieve("invoice payment").results]
+
+    c_blend = cfg.replace(rerank_blend_rrf_relational=1.0)
+    ret_blend = Retriever(build_corpus(c_blend), c_blend)
+    ret_blend.planner = RelationalPlanner()
+    got = [r.chunk_id for r in ret_blend.retrieve("invoice payment").results]
+    assert got == want
+
+
 def test_final_top_k_respected(retriever, cfg):
     r = retriever.retrieve("payment invoice days", top_k=2)
     assert len(r.results) <= 2

@@ -228,6 +228,22 @@ class RAGConfig:
     # the zero-overlap paraphrase holdout keeps 16/16 rank-1 (15/16 at 0.5).
     rerank_blend_rrf: float = 0.3
 
+    # ---- plan-aware relational overrides ----
+    # For relation-mediated intents (relational / entity_lookup) the answer doc
+    # is connected to the query through a graph edge, not through shared text:
+    # the lexical/semantic channels can only match the question's function words
+    # and the MaxSim reranker's text-similarity signal is actively wrong. The
+    # reference handles this with planner-suggested per-intent channel weights
+    # (rag2/query_planner.py:54-94 — its LLM even zeroes graph for procedural
+    # queries) and an LLM reranker that understands relational relevance. The
+    # rule-based analogues: scale the text channels' RRF weight down, and shift
+    # the ordering blend toward fused ranks. Measured on the AST code-graph
+    # corpus (eval_results/code_graph_240.json): graph-query recall@10
+    # 0.451 -> 0.564 from the blend alone; scale recovers fusion dilution.
+    # 1.0 disables either.
+    planner_relational_text_scale: float = 0.5
+    rerank_blend_rrf_relational: float = 0.8
+
     # ---- sharding / parallelism ----
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("shard",)

@@ -127,6 +127,15 @@ class RuleBasedPlanner:
             # example raises lexical/semantic for procedural intent)
             weights["lexical"] = min(1.0, weights["lexical"] + 0.1)
             weights["semantic"] = min(1.0, weights["semantic"] + 0.1)
+        elif intent in ("relational", "entity_lookup") and entities:
+            # relation-mediated answers share only function words with the query:
+            # demote the text channels so two-channel agreement on a stop-word
+            # match cannot out-sum a single-channel graph hit (the reference's
+            # LLM planner adapts weights per intent the same way,
+            # rag2/query_planner.py:54-94; see config.planner_relational_text_scale)
+            s = self.config.planner_relational_text_scale
+            weights["lexical"] *= s
+            weights["semantic"] *= s
 
         return QueryPlan(
             original_query=query,

@@ -330,6 +330,12 @@ class Retriever:
         # LightweightReranker blend, retrieval/reranker.py:590-660). The GATE
         # below still sees the pure rerank score (see apply_safety_denoise).
         b = cfg.rerank_blend_rrf
+        if plan.requires_graph and plan.intent in ("relational", "entity_lookup"):
+            # relation-mediated answers: the MaxSim/text reranker's similarity
+            # signal is wrong by construction, trust the fused ranks more
+            # (config.rerank_blend_rrf_relational; reference counterpart is the
+            # LLM reranker that scores relational relevance directly)
+            b = cfg.rerank_blend_rrf_relational
         if cfg.rerank_enabled and b > 0:
             order_scores = (1.0 - b) * rerank_scores + b * minmax_normalize(
                 fused.ids, fused.rrf
