@@ -787,8 +787,11 @@ class ShardedEngine:
 
             # ---- fuse + expand + rerank + gate (vmapped over the batch) ----
             def tail(lex_i, lex_s, sem_i, sem_s, gr_i, gr_s, w, qtok, qtokm, qv):
+                # w[:3] = channel RRF weights; w[3] = per-query ordering blend
+                # (rerank_blend_rrf, or its _relational override for
+                # relation-mediated plans — must match the staged path)
                 fused = fuse_rrf(
-                    lex_i, lex_s, sem_i, sem_s, gr_i, gr_s, w,
+                    lex_i, lex_s, sem_i, sem_s, gr_i, gr_s, w[:3],
                     rrf_k=cfg.rrf_k, top_k=cfg.rerank_top_k,
                     score_blend=cfg.fusion_score_blend,
                     lex_conf_gate=cfg.fusion_lex_conf_gate,
@@ -819,9 +822,10 @@ class ShardedEngine:
                     rerank = jnp.where(parent_ids >= 0, (cos + 1.0) * 0.5, 0.0)
                 else:
                     rerank = minmax_normalize(fused.ids, fused.rrf)
-                # ordering = optional RRF blend; gate = pure rerank (see fusion.py)
-                bw = cfg.rerank_blend_rrf
-                if cfg.rerank_enabled and bw > 0:
+                # ordering = optional RRF blend; gate = pure rerank (see fusion.py).
+                # blend is per-query data (w[3]): bw=0 reduces to order=rerank
+                if cfg.rerank_enabled:
+                    bw = w[3]
                     order = (1.0 - bw) * rerank + bw * minmax_normalize(
                         fused.ids, fused.rrf
                     )
@@ -1009,6 +1013,14 @@ class ShardedEngine:
                     p.weights.get("lexical", cfg.lexical_weight),
                     p.weights.get("semantic", cfg.semantic_weight),
                     p.weights.get("graph", cfg.graph_weight),
+                    # col 3: per-query ordering blend — relational plans trust
+                    # fused ranks over the text reranker (retrieval.py parity)
+                    (
+                        cfg.rerank_blend_rrf_relational
+                        if p.requires_graph
+                        and p.intent in ("relational", "entity_lookup")
+                        else cfg.rerank_blend_rrf
+                    ),
                 ]
                 for p in plans
             ]
