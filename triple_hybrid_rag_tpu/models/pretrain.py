@@ -242,13 +242,20 @@ def make_overlap_pairs(n: int, rng: np.random.Generator) -> List[Tuple[str, str]
 TRAIN_TEXT_SOURCES = (
     "sklearn", "matplotlib", "sympy", "networkx", "requests", "urllib3",
     "flax", "optax", "setuptools", "jinja2", "yaml",
+    # round-3 widening (+~700 docs of new-author prose; all disjoint from the
+    # eval corpora — the test_pretrain.py disjointness gate enforces it).
+    # NOT included: sqlite3 etc. (stdlib IS an eval source), PIL (import
+    # side effects print to stdout).
+    "pygments", "click", "attrs", "dateutil", "psutil", "rich", "tornado",
+    "IPython", "lxml", "bs4", "cryptography", "absl", "toolz", "fsspec",
+    "tqdm", "jsonschema", "cloudpickle",
 )
 
 _REALTEXT_CACHE: Dict[tuple, List[str]] = {}
 
 
 def realtext_documents(
-    max_docs: int = 2000, sources: Sequence[str] = TRAIN_TEXT_SOURCES
+    max_docs: int = 6000, sources: Sequence[str] = TRAIN_TEXT_SOURCES
 ) -> List[str]:
     """Harvested real-prose training documents (cached per argument set)."""
     key = (max_docs, tuple(sources))
