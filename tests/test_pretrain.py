@@ -72,6 +72,30 @@ def test_train_sources_disjoint_from_eval_sources():
     assert not (set(TRAIN_TEXT_SOURCES) & eval_sources)
 
 
+def test_train_docs_disjoint_from_eval_docs_content_level():
+    """Content-level backing for the independence claim (round-3 advisor): source
+    NAMES being disjoint cannot catch a training package vendoring or quoting
+    eval-corpus prose. Sampled check: no harvested training document's normalized
+    text hash appears in the eval corpora's document hash set."""
+    import hashlib
+
+    from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES, _stdlib_documents
+    from triple_hybrid_rag_tpu.models.pretrain import TRAIN_TEXT_SOURCES
+
+    def norm_hash(text: str) -> str:
+        return hashlib.sha256(" ".join(text.split()).lower().encode()).hexdigest()
+
+    # bounded harvest on both sides (the full pools take minutes to import)
+    train = _stdlib_documents(max_docs=1500, sources=TRAIN_TEXT_SOURCES)
+    eval_docs = _stdlib_documents(
+        max_docs=1500, sources=("stdlib",) + tuple(_PACKAGE_SOURCES)
+    )
+    assert len(train) > 200 and len(eval_docs) > 200
+    eval_hashes = {norm_hash(t) for _, t in eval_docs}
+    dupes = [name for name, t in train if norm_hash(t) in eval_hashes]
+    assert not dupes, f"training docs duplicate eval prose: {dupes[:5]}"
+
+
 def test_mixed_pairs_include_realtext():
     from triple_hybrid_rag_tpu.models.pretrain import make_mixed_pairs
 

@@ -335,12 +335,23 @@ def _stdlib_documents(
     contributors) and/or installed package names (see ``_PACKAGE_SOURCES`` — NumPy,
     SciPy, pandas, JAX, PyTorch... tens of MB by thousands of authors). Text the
     builder did not write and could not have overfit by construction (round-1
-    verdict, "What's missing" #6). Deterministic given the installed versions."""
+    verdict, "What's missing" #6). Deterministic given the installed versions.
+
+    Source OWNERSHIP is enforced per attribute (round-3 advisor finding): a
+    package namespace re-exports foreign objects (``sklearn.os`` is the stdlib
+    ``os`` module; ``sklearn.logger`` surfaces ``logging.Logger``'s class
+    docstring), which silently leaked eval-corpus prose into the training pool.
+    Re-exported modules, instances inheriting their TYPE's docstring, and
+    classes/functions whose ``__module__`` root lies outside the source are all
+    skipped — each document is attributable to its source's authors."""
     import importlib
+    import inspect
+    import sys
     import warnings
 
     docs: List[tuple] = []
     seen: Set[str] = set()
+    stdlib_roots = set(sys.stdlib_module_names) | {"builtins"}
 
     def harvest(source: str, cap: int) -> int:
         n_source = 0
@@ -351,9 +362,19 @@ def _stdlib_documents(
                 continue
             candidates = [(mod_name, (m.__doc__ or ""))]
             for attr_name, attr in sorted(vars(m).items()):
+                if inspect.ismodule(attr):
+                    continue  # re-exported module: another source's prose
                 d = getattr(attr, "__doc__", None)
-                if isinstance(d, str):
-                    candidates.append((f"{mod_name}.{attr_name}", d))
+                # equality, not identity: builtin getters return fresh strings
+                if not isinstance(d, str) or d == getattr(type(attr), "__doc__", None):
+                    continue  # instance surfacing its type's docstring
+                owner = getattr(attr, "__module__", None)
+                if not isinstance(owner, str) or not owner:
+                    owner = mod_name  # C builtins / proxies without a str __module__
+                root = owner.split(".")[0]
+                if (root not in stdlib_roots) if source == "stdlib" else (root != source):
+                    continue  # defined in a foreign package, merely re-exported
+                candidates.append((f"{mod_name}.{attr_name}", d))
             for name, text in candidates:
                 text = text.strip()
                 if len(text) < min_len or text in seen:

@@ -65,13 +65,17 @@ _ENTITY_SPAN_RE = re.compile(
     r"(?:\s+[A-ZÀ-Ý][\wÀ-ÿ&-]*(?:\.[A-ZÀ-Ý][\wÀ-ÿ&-]*)*)*)\b"
 )
 
-# Interrogatives / auxiliaries / verbs that appear capitalized at sentence start but
-# are never entity names (EN + PT; mirrors the reference planner's stop-word slant).
+# Interrogatives / auxiliaries / verbs / articles that appear capitalized at sentence
+# start but are never entity names (EN + PT; mirrors the reference planner's stop-word
+# slant). Articles matter: "The class Foo ..." must seed "Foo", not "The" — a spurious
+# leading candidate burns a fuzzy entity_lookup and graph seed slots ahead of the real
+# entity (round-3 advisor finding).
 _NONENTITY_WORDS = frozenset(
     """how what who whom whose which when where why is are was were does do did can
     could will would should shall may might must list show find tell give explain
-    describe compare qual quais quem como onde quando quanto quantos liste mostre
-    descreva compare explique""".split()
+    describe compare the a an this that these those qual quais quem como onde quando
+    quanto quantos liste mostre descreva compare explique o os as um uma umas uns
+    este esta esse essa""".split()
 )
 
 
@@ -127,7 +131,14 @@ class RuleBasedPlanner:
             # example raises lexical/semantic for procedural intent)
             weights["lexical"] = min(1.0, weights["lexical"] + 0.1)
             weights["semantic"] = min(1.0, weights["semantic"] + 0.1)
-        elif intent in ("relational", "entity_lookup") and entities:
+        elif (
+            intent in ("relational", "entity_lookup")
+            and entities
+            and self.config.graph_enabled
+        ):
+            # gate on graph_enabled: demoting the text channels only makes sense
+            # when the graph channel can compensate (round-3 advisor finding —
+            # the uniform scaling was ordering-invariant only by accident)
             # relation-mediated answers share only function words with the query:
             # demote the text channels so two-channel agreement on a stop-word
             # match cannot out-sum a single-channel graph hit (the reference's
