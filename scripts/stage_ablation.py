@@ -1,0 +1,129 @@
+"""Per-stage funnel ablation on independent text (round-3 verdict task #2).
+
+The MaxSim rerank stage measured neutral-to-harmful on real text (r3:
+hybrid 0.721 -> full 0.665 on the HTTP-roundtrip corpus; stdlib-500 0.829 -> 0.815)
+while the reference's rerank stage exists to RAISE precision
+(/root/reference/src/voice_agent/retrieval/reranker.py:34-50). This script produces
+the missing evidence: hybrid vs +rerank(MaxSim, at several blends) vs +rerank(dot)
+on each corpus, with the indexes built ONCE per corpus and reused across variants
+(only rerank knobs change, so bm25/dense/maxsim artifacts stay valid).
+
+Usage (real chip):
+
+    python scripts/stage_ablation.py [--corpora stdlib500,docs1500,docs4000]
+        [--encoder-path ...] [--anchor-w2 ...] [--out eval_results/stage_ablation.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+CORPORA = {
+    # name -> (n_docs, n_queries, sources)
+    "stdlib500": (500, 150, ("stdlib",)),
+    "docs1500": (1500, 400, "all"),
+    "docs4000": (4000, 600, "all"),
+}
+
+
+def run_corpus(name, base, n_docs, n_queries, sources, k, variants):
+    from triple_hybrid_rag_tpu.eval import evaluate, make_stdlib_eval
+    from triple_hybrid_rag_tpu.index.bm25_index import build_bm25_index
+    from triple_hybrid_rag_tpu.index.dense_index import build_dense_index
+    from triple_hybrid_rag_tpu.index.maxsim_index import build_maxsim_index
+    from triple_hybrid_rag_tpu.models.embedder import get_default_embedder
+    from triple_hybrid_rag_tpu.retrieval import Retriever
+    from triple_hybrid_rag_tpu.analyzer import Analyzer
+
+    t0 = time.time()
+    data = make_stdlib_eval(
+        base, n_docs=n_docs, n_queries=n_queries, seed=0, sources=sources
+    )
+    embedder = get_default_embedder(base)
+    texts = data.corpus.child_texts()
+    bm25 = build_bm25_index(texts, base, Analyzer(base))
+    dense = build_dense_index(embedder.embed_texts(texts), base)
+    maxsim = build_maxsim_index(data.corpus.parent_texts(), embedder, base)
+    build_s = time.time() - t0
+    print(f"[{name}] corpus+indexes built in {build_s:.0f}s "
+          f"({len(texts)} children, {len(data.queries)} queries)", flush=True)
+
+    out = {"n_children": len(texts), "n_queries": len(data.queries),
+           "build_s": round(build_s, 1), "variants": {}}
+    for vname, cfg in variants(base).items():
+        t0 = time.time()
+        r = Retriever.from_indexes(
+            data.corpus, cfg, bm25_index=bm25, dense_index=dense,
+            maxsim_index=maxsim if (cfg.rerank_enabled and cfg.rerank_backend == "maxsim") else None,
+            embedder=embedder,
+        )
+        res = evaluate(lambda q: r.retrieve(q, top_k=k), data.queries, k=k)
+        res["elapsed_s"] = round(time.time() - t0, 1)
+        out["variants"][vname] = res
+        print(f"[{name}] {vname}: recall@{k}={res[f'recall@{k}']:.3f} "
+              f"ndcg={res[f'ndcg@{k}']:.3f} ({res['elapsed_s']}s)", flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpora", default="stdlib500,docs1500,docs4000")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--encoder-path", default=None)
+    ap.add_argument("--anchor-w2", type=float, default=None)
+    ap.add_argument("--out", default="eval_results/stage_ablation.json")
+    args = ap.parse_args()
+
+    from triple_hybrid_rag_tpu.config import RAGConfig
+    from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES
+
+    base = RAGConfig(
+        capacity_round=64,
+        embedding_dtype="float32",
+        safety_threshold=0.0,
+        final_top_k=max(args.k, 10),
+        rerank_top_k=max(2 * args.k, 20),
+        denoise_alpha=0.0,
+        graph_enabled=False,
+    )
+    if args.encoder_path is not None:
+        base = base.replace(encoder_params_path=args.encoder_path)
+    if args.anchor_w2 is not None:
+        base = base.replace(encoder_anchor_pool_w2=args.anchor_w2)
+
+    def variants(b: RAGConfig):
+        return {
+            "hybrid": b.replace(rerank_enabled=False),
+            "rerank_maxsim_b00": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.0),
+            "rerank_maxsim_b03": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.3),
+            "rerank_maxsim_b05": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.5),
+            "rerank_maxsim_b07": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.7),
+            "rerank_dot_b03": b.replace(rerank_backend="dot", rerank_blend_rrf=0.3),
+        }
+
+    payload = {"k": args.k, "encoder_path": args.encoder_path,
+               "anchor_w2": args.anchor_w2, "corpora": {}}
+    for name in (c.strip() for c in args.corpora.split(",")):
+        n_docs, n_queries, sources = CORPORA[name]
+        if sources == "all":
+            sources = ("stdlib",) + _PACKAGE_SOURCES
+        payload["corpora"][name] = run_corpus(
+            name, base, n_docs, n_queries, sources, args.k, variants
+        )
+
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(payload, indent=1))
+    print(f"-> {out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

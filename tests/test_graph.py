@@ -148,6 +148,90 @@ def test_rule_extractor_mentions():
     assert len(result.mentions) >= 3
 
 
+def test_rule_extractor_code_identifiers():
+    """Round-4 NER surface: dotted code paths + classifier-noun-cued identifiers
+    become TECHNOLOGY entities, and the relation pair pattern tolerates the
+    'the module X' appositive gap (verdict task #4: real-text graph loop)."""
+    from triple_hybrid_rag_tpu.types import ChildChunk, ParentChunk
+
+    text = (
+        "The class TaskGroup belongs to the module asyncio. "
+        "The class TaskGroup depends on the class BaseTask. "
+        "See xml.dom.minidom for the DOM parser."
+    )
+    parent = ParentChunk(parent_id="e" * 16 + ":0", doc_id="e" * 64, parent_idx=0, text=text)
+    child = ChildChunk(
+        chunk_id="e" * 16 + ":0:0", parent_id=parent.parent_id, doc_id="e" * 64,
+        parent_idx=0, child_idx=0, text=text,
+    )
+    result = RuleBasedExtractor(RAGConfig()).extract(parent, [child])
+    names = {e.canonical_name for e in result.entities}
+    assert "TaskGroup" in names
+    assert "asyncio" in names          # cued by "the module"
+    assert "xml.dom.minidom" in names  # dotted path
+    types = {e.canonical_name: e.entity_type for e in result.entities}
+    assert types["asyncio"] == EntityType.TECHNOLOGY
+    assert types["xml.dom.minidom"] == EntityType.TECHNOLOGY
+    by_name = {e.entity_id: e.canonical_name for e in result.entities}
+    rels = {
+        (by_name[r.subject_id], r.relation_type, by_name[r.object_id])
+        for r in result.relations
+    }
+    assert ("TaskGroup", RelationType.PART_OF, "asyncio") in rels
+    assert ("TaskGroup", RelationType.DEPENDS_ON, "BaseTask") in rels
+
+
+def test_entity_store_link_mentions():
+    """The dictionary-linking sweep binds stored entities to OTHER documents'
+    chunks at word boundaries (short keys must not match inside words)."""
+    from triple_hybrid_rag_tpu.models.entity_extractor import EntityStore
+    from triple_hybrid_rag_tpu.types import ChildChunk, ParentChunk
+
+    result, _ = _extract()
+    store = EntityStore()
+    store.store_extraction(result)
+    n0 = len(store.mentions)
+    other = ChildChunk(
+        chunk_id="f" * 16 + ":0:0", parent_id="f" * 16 + ":0", doc_id="f" * 64,
+        parent_idx=0, child_idx=0,
+        text="Quarterly report: Acme Corp expanded. Most teams were unaffected.",
+    )
+    # "Acme Corp" must link; "os"-like short-key-inside-word must not: store an
+    # entity 'corp' scenario is covered by boundary matching on the real keys
+    added = store.link_mentions([other])
+    assert added >= 1
+    linked = {
+        (store.entity_by_id(m.entity_id).canonical_name, m.chunk_id)
+        for m in store.mentions[n0:]
+    }
+    assert ("Acme Corp", other.chunk_id) in linked
+    # no entity named inside "Most"/"teams" got bound
+    assert all(name in other.text or name.lower() in other.text.lower()
+               for name, _ in linked)
+
+
+def test_code_graph_eval_extracted_mode_smoke():
+    """graph_source='extracted' builds a usable self-extracted graph: triple
+    recall vs the AST oracle is high and the relational eval still favors
+    graph-on (tiny corpus; the full-scale measurement lives in eval_results/)."""
+    from triple_hybrid_rag_tpu.eval import make_code_graph_eval
+
+    cfg = RAGConfig(capacity_round=64, embedder_backend="bowhash",
+                    graph_enabled=True, safety_threshold=0.0, denoise_alpha=0.0)
+    data = make_code_graph_eval(cfg, n_modules=12, n_graph_queries=8,
+                                n_cloze_queries=4, seed=0,
+                                graph_source="extracted", include_api_docs=True)
+    m = data.extraction_metrics
+    assert m is not None and m["oracle_triples"] > 0
+    assert m["triple_recall"] >= 0.8, m
+    assert m["triple_precision"] >= 0.8, m
+    assert data.entity_store.stats()["mentions"] > 0
+    import pytest
+    with pytest.raises(ValueError):
+        make_code_graph_eval(cfg, n_modules=4, graph_source="extracted",
+                             include_api_docs=False)
+
+
 def test_callable_extractor_and_fallback():
     def llm(text):
         return {

@@ -105,6 +105,9 @@ class EvalCorpus:
     corpus: CorpusStore
     entity_store: EntityStore
     queries: List[EvalQuery] = field(default_factory=list)
+    # triple precision/recall vs the AST oracle when the graph was self-extracted
+    # (make_code_graph_eval(graph_source="extracted")); None otherwise
+    extraction_metrics: Optional[Dict[str, float]] = None
 
 
 def make_eval_corpus(
@@ -546,6 +549,9 @@ def make_code_graph_eval(
     n_graph_queries: int = 120,
     n_cloze_queries: int = 120,
     seed: int = 0,
+    graph_source: str = "oracle",
+    include_api_docs: bool = False,
+    extractor=None,
 ) -> EvalCorpus:
     """Independent corpus whose knowledge graph mirrors real code structure.
 
@@ -566,8 +572,24 @@ def make_code_graph_eval(
       (rag2/query_planner.py:54-94) on facts the builder could not have planted.
     - ``cloze``: the standard held-out-sentence inverse-cloze queries over the
       same corpus, to show the graph channel does not regress non-graph queries.
+
+    Round-4 additions (verdict task #4 — close the NER->graph loop on real text):
+
+    - ``include_api_docs``: adds one API-reference document per module stating its
+      AST facts as prose ("The class {C} belongs to the module {M}."), the textual
+      carrier a real corpus would have. Its chunks are NEVER labeled relevant —
+      the relational queries still target the module's own description, so the
+      channel must ROUTE through the relation, not string-match the statement.
+    - ``graph_source="extracted"``: instead of injecting oracle triples, the
+      shipped extractor (``extractor`` or :class:`RuleBasedExtractor`) runs over
+      every parent chunk exactly as ingestion would, followed by the
+      ``EntityStore.link_mentions`` dictionary-linking sweep; the AST facts are
+      then only used to SCORE the extraction (triple precision/recall in
+      ``EvalCorpus.extraction_metrics``). Requires ``include_api_docs=True`` —
+      prose must state the facts for any extractor to have a chance (the
+      reference bar: LLM NER over chunk text, entity_extraction.py:104-148).
     """
-    from .models.entity_extractor import _fold_ws, canonical_key
+    from .models.entity_extractor import RuleBasedExtractor, _fold_ws, canonical_key
     from .types import (
         Entity,
         EntityMention,
@@ -579,6 +601,11 @@ def make_code_graph_eval(
     import re as _re
     import uuid as _uuid
 
+    if graph_source not in ("oracle", "extracted"):
+        raise ValueError(f"graph_source must be oracle|extracted, got {graph_source!r}")
+    if graph_source == "extracted" and not include_api_docs:
+        raise ValueError("graph_source='extracted' requires include_api_docs=True "
+                         "(the facts must exist as prose for extraction)")
     rng = np.random.default_rng(seed)
     mods = _stdlib_module_structure(max_modules=n_modules * 2)[:n_modules]
 
@@ -607,6 +634,9 @@ def make_code_graph_eval(
         )
 
     graph_candidates: List[tuple] = []  # (class_name, relevant chunk ids)
+    oracle_triples: Set[tuple] = set()  # (subj_key, rtype_value, obj_key)
+    parent_children: List[tuple] = []  # (ParentChunk, [ChildChunk]) for extraction
+    all_children: List = []
     for i, (mod_name, doc, classes) in enumerate(mods):
         body = doc
         held_out = None
@@ -621,43 +651,79 @@ def make_code_graph_eval(
         doc_id = hashlib.sha256(f"codegraph-{mod_name}".encode()).hexdigest()
         parents, children = chunker.chunk_document(f"# {mod_name}\n\n{body}", doc_id)
         store.add_chunks(parents, children)
+        for p in parents:
+            parent_children.append((p, [c for c in children if c.parent_id == p.parent_id]))
+        all_children.extend(children)
 
-        # --- extraction result per parent, CallableExtractor mention semantics ---
-        mod_ent = ent(mod_name, EntityType.TECHNOLOGY)
-        entities = {canonical_key(mod_name): mod_ent}
-        relations: List[Relation] = []
+        # the AST ground-truth triples (graph content in oracle mode; the scoring
+        # key in extracted mode)
+        mod_key = canonical_key(mod_name)
         for cname, bases in classes:
-            c_ent = entities.setdefault(canonical_key(cname), ent(cname, EntityType.CONCEPT))
-            relations.append(Relation(
-                relation_id=str(_uuid.uuid4()),
-                subject_id=c_ent.entity_id,
-                object_id=mod_ent.entity_id,
-                relation_type=RelationType.PART_OF,
-                source_chunk_id=parents[0].parent_id if parents else None,
-            ))
+            oracle_triples.add((canonical_key(cname), RelationType.PART_OF.value, mod_key))
             for b in bases:
                 if b.startswith("_") or canonical_key(b) == canonical_key(cname):
                     continue
-                b_ent = entities.setdefault(canonical_key(b), ent(b, EntityType.CONCEPT))
+                oracle_triples.add(
+                    (canonical_key(cname), RelationType.DEPENDS_ON.value, canonical_key(b))
+                )
+
+        if include_api_docs:
+            # the textual carrier of the AST facts — one API-reference doc per
+            # module, chunks never labeled relevant (see docstring)
+            lines = []
+            for cname, bases in classes:
+                lines.append(f"The class {cname} belongs to the module {mod_name}.")
+                for b in bases:
+                    if b.startswith("_") or canonical_key(b) == canonical_key(cname):
+                        continue
+                    lines.append(f"The class {cname} depends on the class {b}.")
+            api_text = f"# {mod_name} API reference\n\n" + " ".join(lines)
+            api_id = hashlib.sha256(f"codegraph-api-{mod_name}".encode()).hexdigest()
+            a_parents, a_children = chunker.chunk_document(api_text, api_id)
+            store.add_chunks(a_parents, a_children)
+            for p in a_parents:
+                parent_children.append(
+                    (p, [c for c in a_children if c.parent_id == p.parent_id])
+                )
+            all_children.extend(a_children)
+
+        if graph_source == "oracle":
+            # --- inject per-parent, CallableExtractor mention semantics ---
+            mod_ent = ent(mod_name, EntityType.TECHNOLOGY)
+            entities = {canonical_key(mod_name): mod_ent}
+            relations: List[Relation] = []
+            for cname, bases in classes:
+                c_ent = entities.setdefault(canonical_key(cname), ent(cname, EntityType.CONCEPT))
                 relations.append(Relation(
                     relation_id=str(_uuid.uuid4()),
                     subject_id=c_ent.entity_id,
-                    object_id=b_ent.entity_id,
-                    relation_type=RelationType.DEPENDS_ON,
+                    object_id=mod_ent.entity_id,
+                    relation_type=RelationType.PART_OF,
                     source_chunk_id=parents[0].parent_id if parents else None,
                 ))
-        mentions = []
-        for child in children:
-            folded = _fold_ws(child.text)
-            for key, e in entities.items():
-                if key in folded:
-                    mentions.append(EntityMention(
-                        entity_id=e.entity_id, chunk_id=child.chunk_id,
-                        surface_form=e.canonical_name,
+                for b in bases:
+                    if b.startswith("_") or canonical_key(b) == canonical_key(cname):
+                        continue
+                    b_ent = entities.setdefault(canonical_key(b), ent(b, EntityType.CONCEPT))
+                    relations.append(Relation(
+                        relation_id=str(_uuid.uuid4()),
+                        subject_id=c_ent.entity_id,
+                        object_id=b_ent.entity_id,
+                        relation_type=RelationType.DEPENDS_ON,
+                        source_chunk_id=parents[0].parent_id if parents else None,
                     ))
-        estore.store_extraction(ExtractionResult(
-            entities=list(entities.values()), mentions=mentions, relations=relations,
-        ))
+            mentions = []
+            for child in children:
+                folded = _fold_ws(child.text)
+                for key, e in entities.items():
+                    if key in folded:
+                        mentions.append(EntityMention(
+                            entity_id=e.entity_id, chunk_id=child.chunk_id,
+                            surface_form=e.canonical_name,
+                        ))
+            estore.store_extraction(ExtractionResult(
+                entities=list(entities.values()), mentions=mentions, relations=relations,
+            ))
 
         rel_ids = {c.chunk_id for c in children if c.row >= 0}
         if not rel_ids:
@@ -675,6 +741,43 @@ def make_code_graph_eval(
             ):
                 graph_candidates.append((cname, rel_ids))
 
+    extraction_metrics = None
+    if graph_source == "extracted":
+        # the shipped ingest-path extraction, parent by parent, then the global
+        # dictionary-linking sweep (the reference's ILIKE-match analogue)
+        ex = extractor or RuleBasedExtractor(cfg)
+        for p, kids in parent_children:
+            estore.store_extraction(ex.extract(p, kids))
+        estore.link_mentions(all_children)
+        # score typed triples against the AST oracle
+        ent_key = {
+            e.entity_id: canonical_key(e.canonical_name)
+            for e in estore.entities.values()
+        }
+        typed = {RelationType.PART_OF.value, RelationType.DEPENDS_ON.value}
+        extracted = {
+            (ent_key[r.subject_id], r.relation_type.value, ent_key[r.object_id])
+            for r in estore.relations
+            if r.relation_type.value in typed
+        }
+        tp = len(extracted & oracle_triples)
+        extraction_metrics = {
+            "oracle_triples": float(len(oracle_triples)),
+            "extracted_typed_triples": float(len(extracted)),
+            "triple_recall": tp / max(len(oracle_triples), 1),
+            "triple_precision": tp / max(len(extracted), 1),
+            "related_to_edges": float(sum(
+                1 for r in estore.relations
+                if r.relation_type == RelationType.RELATED_TO
+            )),
+            "entities": float(len(estore.entities)),
+            "mentions": float(len(estore.mentions)),
+        }
+    elif include_api_docs:
+        # oracle graph + api docs: bind oracle entities into the api chunks too so
+        # both modes see the same mention surface
+        estore.link_mentions(all_children)
+
     templates = (
         "The class {c} belongs to which module?",
         "Which library module is the class {c} part of?",
@@ -683,7 +786,8 @@ def make_code_graph_eval(
     for j, (cname, rel_ids) in enumerate(graph_candidates[:n_graph_queries]):
         queries.append(EvalQuery(templates[j % len(templates)].format(c=cname),
                                  rel_ids, "graph"))
-    return EvalCorpus(corpus=store, entity_store=estore, queries=queries)
+    return EvalCorpus(corpus=store, entity_store=estore, queries=queries,
+                      extraction_metrics=extraction_metrics)
 
 
 def evaluate_code_graph(
@@ -693,12 +797,20 @@ def evaluate_code_graph(
     n_graph_queries: int = 120,
     n_cloze_queries: int = 120,
     seed: int = 0,
+    graph_source: str = "oracle",
+    include_api_docs: bool = False,
+    extractor=None,
 ) -> Dict[str, Dict[str, float]]:
     """Graph-on vs graph-off through the FULL funnel on the code-structure corpus.
 
     The round-2 verdict's missing item #4: no measurement showed graph-on beating
     graph-off on text the builder didn't design. ``graph`` rows measure that;
-    ``cloze`` rows guard against regression on non-relational queries."""
+    ``cloze`` rows guard against regression on non-relational queries.
+
+    ``graph_source="extracted"`` (round-4 task #4) replaces the oracle triples
+    with the shipped extractor's output over the corpus text (requires
+    ``include_api_docs``); the returned dict gains an ``extraction`` entry with
+    triple precision/recall vs the AST oracle."""
     base = base_cfg or RAGConfig(
         capacity_round=64,
         embedding_dtype="float32",
@@ -711,6 +823,8 @@ def evaluate_code_graph(
     data = make_code_graph_eval(
         base, n_modules=n_modules, n_graph_queries=n_graph_queries,
         n_cloze_queries=n_cloze_queries, seed=seed,
+        graph_source=graph_source, include_api_docs=include_api_docs,
+        extractor=extractor,
     )
     table = {
         "graph_off": base.replace(graph_enabled=False),
@@ -726,4 +840,6 @@ def evaluate_code_graph(
         )
         retriever = Retriever(data.corpus, cfg, graph_index=gidx)
         out[name] = evaluate(lambda q: retriever.retrieve(q, top_k=k), data.queries, k=k)
+    if data.extraction_metrics is not None:
+        out["extraction"] = data.extraction_metrics
     return out

@@ -50,6 +50,23 @@ _ORG_SUFFIXES = (
 _PERSON_TITLES = ("mr", "mrs", "ms", "dr", "prof", "sr", "sra", "dra", "eng")
 
 _CAP_SPAN_RE = re.compile(r"\b([A-ZÀ-Ý][\w&.\-À-ÿ]*(?:\s+(?:of|de|da|do|dos|das|e|and|&)?\s*[A-ZÀ-Ý][\w&.\-À-ÿ]*)*)\b")
+# Code identifiers (the reference's LLM NER extracts these natively as TECHNOLOGY;
+# entity_extraction.py:29-61 lists "technology" among its 15 types): dotted paths
+# ("xml.dom.minidom", "asyncio.TaskGroup") and single identifiers cued by an
+# appositive classifier noun ("the module asyncio", "a biblioteca numpy").
+_CODE_ID_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\b")
+_MODULE_CUE_RE = re.compile(
+    r"\b(?:module|package|library|class|função|modulo|módulo|pacote|biblioteca|classe)"
+    r"\s+([A-Za-z_][\w.]*)\b"
+)
+# Optional article + classifier noun between a relation verb and its object
+# ("belongs to THE MODULE asyncio", "works for THE COMPANY Acme") — real prose
+# interposes these; requiring verb-object adjacency silently dropped the edge.
+_REL_GAP = (
+    r"(?:(?:the|a|an|o|os|as|um|uma)\s+)?"
+    r"(?:(?:module|package|library|class|company|organization|empresa|modulo|módulo|"
+    r"pacote|biblioteca|classe|organizacao|organização)\s+)?"
+)
 _DATE_RE = re.compile(
     r"\b(\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}-\d{2}-\d{2}|"
     r"(?:january|february|march|april|may|june|july|august|september|october|november|"
@@ -160,6 +177,17 @@ class RuleBasedExtractor:
         for m in _MONEY_RE.finditer(text):
             add_entity(m.group(0), EntityType.MONEY)
 
+        # code identifiers: dotted paths anywhere; bare identifiers only behind a
+        # classifier-noun cue (a bare lowercase word is too ambiguous to be an
+        # entity without one). DATE spans like "12.03.2024" never reach here —
+        # the dotted pattern requires a non-digit lead character.
+        for m in _CODE_ID_RE.finditer(text):
+            add_entity(m.group(1), EntityType.TECHNOLOGY)
+        for m in _MODULE_CUE_RE.finditer(text):
+            name = m.group(1).rstrip(".")
+            if len(name) >= 2 and not name.isdigit():
+                add_entity(name, EntityType.TECHNOLOGY)
+
         # relations: pattern-based, then same-sentence co-occurrence
         relations: List[Relation] = []
         seen_rel: set[Tuple[str, str, str]] = set()
@@ -194,7 +222,7 @@ class RuleBasedExtractor:
                 if not verb_re.search(text):
                     continue  # one cheap scan rejects absent verbs
                 pair_re = re.compile(
-                    rf"({alt})\s+(?:{mid})\s+({alt})", re.IGNORECASE
+                    rf"({alt})\s+(?:{mid})\s+{_REL_GAP}({alt})", re.IGNORECASE
                 )
                 for m in pair_re.finditer(text):
                     a = by_key.get(canonical_key(m.group(1)))
@@ -379,6 +407,49 @@ class EntityStore:
 
     def entity_by_id(self, entity_id: str) -> Optional[Entity]:
         return self._by_id.get(entity_id)
+
+    def link_mentions(self, children: Sequence[ChildChunk]) -> int:
+        """Global entity-linking sweep: bind every KNOWN entity to every child chunk
+        whose text contains its canonical key at word boundaries.
+
+        Per-parent extraction only sees its own children, so an entity introduced in
+        document A (e.g. an API index stating "class Foo belongs to the module bar")
+        never gets mentions in document B (bar's own description) — exactly the
+        cross-document link the graph channel needs to route a k-hop answer. This is
+        the standard dictionary-linking pass of KG pipelines; the reference gets the
+        same effect from Postgres ILIKE matching at graph-search time
+        (rag2/graph_search.py:249-274). Word-boundary matching (not bare substring)
+        keeps short keys ("os", "re") from binding inside unrelated words.
+        Returns the number of new mentions added."""
+        keys = sorted(self.entities, key=len, reverse=True)
+        if not keys:
+            return 0
+        added = 0
+        # chunked alternation: one compiled regex per ~500 keys, each child text
+        # folded once and scanned per chunk-regex — O(children * key_chunks)
+        regs = []
+        step = 500
+        for s in range(0, len(keys), step):
+            regs.append(re.compile(
+                r"(?<!\w)(" + "|".join(re.escape(k) for k in keys[s : s + step]) + r")(?!\w)"
+            ))
+        for child in children:
+            folded = _fold_ws(child.text)
+            for reg in regs:
+                for m in reg.finditer(folded):
+                    ent = self.entities.get(m.group(1))
+                    if ent is None:
+                        continue
+                    mkey = (ent.entity_id, child.chunk_id)
+                    if mkey in self._men_seen:
+                        continue
+                    self._men_seen.add(mkey)
+                    self.mentions.append(EntityMention(
+                        entity_id=ent.entity_id, chunk_id=child.chunk_id,
+                        surface_form=ent.canonical_name,
+                    ))
+                    added += 1
+        return added
 
     def _trgm_index(self):
         """Trigram inverted index over canonical keys — the pg_trgm GIN-index analogue

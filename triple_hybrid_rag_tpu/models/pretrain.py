@@ -268,6 +268,24 @@ def realtext_documents(
     return _REALTEXT_CACHE[key]
 
 
+def _cloze_from_text(
+    text: str, rng: np.random.Generator, window: int
+) -> Optional[Tuple[str, str]]:
+    """One inverse-cloze (query, positive) pair from a document, or None when the
+    text has too few usable sentences. The query is one sentence REMOVED from the
+    text; the positive is a random ``window``-word span of the remainder."""
+    sents = [s.strip() for s in text.replace("\n", " ").split(". ") if len(s.split()) >= 6]
+    if len(sents) < 2:
+        return None
+    qi = int(rng.integers(len(sents)))
+    q = sents[qi]
+    rest_words = " ".join(sents[:qi] + sents[qi + 1 :]).split()
+    if len(rest_words) > window:
+        start = int(rng.integers(0, len(rest_words) - window + 1))
+        rest_words = rest_words[start : start + window]
+    return q, " ".join(rest_words)
+
+
 def make_realtext_pairs(
     n: int,
     rng: np.random.Generator,
@@ -290,17 +308,89 @@ def make_realtext_pairs(
     attempts = 0
     while len(pairs) < n and attempts < 50 * n:
         attempts += 1
-        t = texts[int(rng.integers(len(texts)))]
-        sents = [s.strip() for s in t.replace("\n", " ").split(". ") if len(s.split()) >= 6]
-        if len(sents) < 2:
+        pair = _cloze_from_text(texts[int(rng.integers(len(texts)))], rng, window)
+        if pair is not None:
+            pairs.append(pair)
+    return pairs
+
+
+def bm25_neighbor_map(
+    docs: Sequence[str], k1: float = 1.2, b: float = 0.75
+) -> np.ndarray:
+    """int32[n_docs] index of each document's most BM25-confusable OTHER document.
+
+    Host-side sparse BM25 (scipy CSR, chunked doc-vs-doc scoring) over the
+    training pool — the round-3 verdict's "BM25-error hard-negative mining"
+    infrastructure. A document's nearest BM25 neighbor is exactly the distractor
+    the lexical channel confuses it with; training the dense channel to separate
+    such pairs is what lets fusion beat lexical-only on real text."""
+    import scipy.sparse as sp
+
+    from ..analyzer import Analyzer
+
+    an = Analyzer(get_settings())
+    vocab: Dict[str, int] = {}
+    rows, cols, vals = [], [], []
+    doc_lens = np.zeros(len(docs), np.float32)
+    for i, text in enumerate(docs):
+        counts: Dict[int, int] = {}
+        toks = an.tokenize(text)
+        doc_lens[i] = len(toks)
+        for t in toks:
+            j = vocab.setdefault(t, len(vocab))
+            counts[j] = counts.get(j, 0) + 1
+        rows.extend([i] * len(counts))
+        cols.extend(counts.keys())
+        vals.extend(counts.values())
+    n, v = len(docs), max(len(vocab), 1)
+    tf = sp.csr_matrix((vals, (rows, cols)), shape=(n, v), dtype=np.float32)
+    df = np.asarray((tf > 0).sum(axis=0)).ravel().astype(np.float32)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    avg_len = max(float(doc_lens.mean()), 1.0)
+    # BM25 doc-side weight per (doc, term); query side uses raw tf * idf
+    norm = k1 * (1.0 - b + b * doc_lens / avg_len)  # [n]
+    w = tf.copy()
+    coo = w.tocoo()
+    w_vals = (coo.data * (k1 + 1.0)) / (coo.data + norm[coo.row])
+    w = sp.csr_matrix((w_vals * idf[coo.col], (coo.row, coo.col)), shape=(n, v))
+    q = tf.multiply(sp.csr_matrix(idf[None, :]))  # query-side: tf * idf
+    out = np.zeros(n, np.int32)
+    chunk = 512
+    for s in range(0, n, chunk):
+        scores = np.asarray((q[s : s + chunk] @ w.T).todense())
+        for r in range(scores.shape[0]):
+            scores[r, s + r] = -np.inf  # a doc is not its own neighbor
+        out[s : s + chunk] = np.argmax(scores, axis=1)
+    return out
+
+
+def make_hardneg_pairs(
+    n: int,
+    rng: np.random.Generator,
+    docs: Sequence[str],
+    neighbors: np.ndarray,
+    window: int = 48,
+) -> List[Tuple[str, str]]:
+    """Inverse-cloze pairs emitted in BM25-CONFUSABLE groups.
+
+    For a sampled doc X, emit a cloze pair from X AND one from its most
+    BM25-confusable neighbor Y — inside one InfoNCE batch each positive is the
+    other's in-batch negative, so the model must separate exactly the pairs the
+    lexical channel cannot. No loss-function change needed: hard negatives ride
+    the standard in-batch-negatives contract (training.py:142-147)."""
+    pairs: List[Tuple[str, str]] = []
+    attempts = 0
+    while len(pairs) < n and attempts < 50 * n:
+        attempts += 1
+        i = int(rng.integers(len(docs)))
+        j = int(neighbors[i])
+        a = _cloze_from_text(docs[i], rng, window)
+        bpair = _cloze_from_text(docs[j], rng, window)
+        if a is None or bpair is None:
             continue
-        qi = int(rng.integers(len(sents)))
-        q = sents[qi]
-        rest_words = " ".join(sents[:qi] + sents[qi + 1 :]).split()
-        if len(rest_words) > window:
-            start = int(rng.integers(0, len(rest_words) - window + 1))
-            rest_words = rest_words[start : start + window]
-        pairs.append((q, " ".join(rest_words)))
+        pairs.append(a)
+        if len(pairs) < n:
+            pairs.append(bpair)
     return pairs
 
 
@@ -310,14 +400,30 @@ def make_mixed_pairs(
     overlap_frac: float = 0.5,
     realtext_frac: float = 0.0,
     realtext_docs: Optional[Sequence[str]] = None,
+    hardneg_frac: float = 0.0,
+    neighbors: Optional[np.ndarray] = None,
+    realtext_window: int = 48,
 ):
     """Training mixture: paraphrase (synonym geometry) + overlap (identity prior)
-    + real-text inverse cloze (real-prose co-occurrence; see make_realtext_pairs)."""
+    + real-text inverse cloze (real-prose co-occurrence; see make_realtext_pairs)
+    + BM25-confusable hard-negative groups (see make_hardneg_pairs; requires
+    ``neighbors`` from :func:`bm25_neighbor_map`). The shuffle keeps confusable
+    pairs in the SAME batch — in-batch co-presence is what makes them negatives."""
+    n_hard = int(n * hardneg_frac) if neighbors is not None else 0
     n_real = int(n * realtext_frac)
     n_overlap = int(n * overlap_frac)
-    pairs = make_pairs(n - n_overlap - n_real, rng) + make_overlap_pairs(n_overlap, rng)
+    pairs = make_pairs(n - n_overlap - n_real - n_hard, rng) + make_overlap_pairs(
+        n_overlap, rng
+    )
     if n_real:
-        pairs += make_realtext_pairs(n_real, rng, docs=realtext_docs)
+        pairs += make_realtext_pairs(
+            n_real, rng, docs=realtext_docs, window=realtext_window
+        )
+    if n_hard:
+        pairs += make_hardneg_pairs(
+            n_hard, rng, list(realtext_docs or realtext_documents()),
+            neighbors, window=realtext_window,
+        )
     order = rng.permutation(len(pairs))
     return [pairs[i] for i in order]
 
@@ -382,12 +488,34 @@ DEFAULT_PARAMS = DATA_DIR / "encoder.npz"
 
 
 def default_encoder_config():
-    """The shipped model's architecture: ~5M params (~10 MB f16 npz)."""
+    """The round-3 shipped architecture: ~5M params (~10 MB f16 npz).
+
+    Kept as the SMALL tier (fast CPU inference, tiny artifact); round-3's measured
+    lesson was that this capacity is the dense channel's bottleneck (dense-only
+    recall@10 0.318 vs the 0.35 target on the 1500-doc corpus) — the round-4
+    default is :func:`scaled_encoder_config`."""
     from .encoder import EncoderConfig
 
     return EncoderConfig(
         vocab_buckets=16384, d_model=192, n_layers=4, n_heads=6, d_mlp=768,
         max_tokens=64, out_dim=1024, token_dim=128, dtype="bfloat16",
+    )
+
+
+def scaled_encoder_config():
+    """The round-4 scaled architecture: ~43M params (d_model 512, 8 layers).
+
+    The reference's dense channel is a 2B-param served model
+    (``/root/reference/src/voice_agent/rag2/embedder.py:31-120``); the round-3
+    verdict priced the 5M packaged encoder as the measured quality bottleneck and
+    prescribed a 30-100M model. max_tokens 96 covers a full ~200-estimate-token
+    child chunk's analyzer tokens (the 64-token window truncated long chunks, so
+    pooled embeddings ignored their tails)."""
+    from .encoder import EncoderConfig
+
+    return EncoderConfig(
+        vocab_buckets=32768, d_model=512, n_layers=8, n_heads=8, d_mlp=2048,
+        max_tokens=96, out_dim=1024, token_dim=128, dtype="bfloat16",
     )
 
 
@@ -479,6 +607,11 @@ def train_default_encoder(
     overlap_frac: float = 0.3,
     realtext_frac: float = 0.35,
     init_params_path=None,
+    hardneg_frac: float = 0.0,
+    q_tokens: int = 32,
+    d_tokens: int = 32,
+    realtext_max_docs: int = 6000,
+    realtext_window: int = 48,
 ):
     """Train the packaged encoder on generated paraphrase pairs and save it.
 
@@ -490,9 +623,17 @@ def train_default_encoder(
     ``init_params_path`` warm-starts from a previously packaged checkpoint (same
     EncoderConfig required) — the fine-tuning path: round-2 A/B showed a cold
     retrain with a realtext-heavy mixture trades hermetic paraphrase recall
-    (dense-only 1.00 -> 0.78) for the real-text gain, while a low-LR fine-tune
-    from the shipped weights keeps the paraphrase geometry and adds real-prose
-    co-occurrence on top. Returns (path, metrics)."""
+    (dense-only 1.00 -> 0.78) for the real-text gain ON THE 5M MODEL, while a
+    low-LR fine-tune from the shipped weights keeps the paraphrase geometry and
+    adds real-prose co-occurrence on top. (The round-4 scaled model has the
+    capacity to learn both cold — verified by the paraphrase holdout after
+    training.)
+
+    ``hardneg_frac`` > 0 adds BM25-confusable in-batch hard-negative groups
+    (:func:`make_hardneg_pairs`; the neighbor map is mined once up front).
+    ``q_tokens``/``d_tokens`` set the per-side training sequence widths — docs
+    should train at (near) the inference ``max_tokens`` so every position
+    embedding the serving path reads is a trained one. Returns (path, metrics)."""
     import jax
     import jax.numpy as jnp
 
@@ -506,6 +647,7 @@ def train_default_encoder(
     tc = TrainConfig(
         learning_rate=lr,
         warmup_steps=max(20, steps // 20),
+        decay_steps=max(steps, 100),
         matryoshka_dims=(enc_cfg.out_dim, enc_cfg.out_dim // 2, enc_cfg.out_dim // 4),
         maxsim_weight=0.25,
     )
@@ -530,19 +672,30 @@ def train_default_encoder(
 
     from .encoder import anchor_arrays
 
-    real_docs = realtext_documents() if realtext_frac > 0 else None
+    real_docs = (
+        realtext_documents(max_docs=realtext_max_docs)
+        if realtext_frac > 0 or hardneg_frac > 0
+        else None
+    )
+    neighbors = None
+    if hardneg_frac > 0 and real_docs:
+        neighbors = bm25_neighbor_map(real_docs)
+    q_tokens = min(q_tokens, enc_cfg.max_tokens)
+    d_tokens = min(d_tokens, enc_cfg.max_tokens)
     metrics = {}
     for s in range(steps):
         pairs = make_mixed_pairs(
             batch_size, rng, overlap_frac=overlap_frac,
             realtext_frac=realtext_frac, realtext_docs=real_docs,
+            hardneg_frac=hardneg_frac, neighbors=neighbors,
+            realtext_window=realtext_window,
         )
         q_texts = [q for q, _ in pairs]
         d_texts = [d for _, d in pairs]
-        q_ids, q_mask = hasher.encode(q_texts, max_tokens=32)
-        d_ids, d_mask = hasher.encode(d_texts, max_tokens=32)
-        q_ap, q_at = anchor_arrays(q_texts, train_enc_cfg, hasher.analyzer, max_tokens=32)
-        d_ap, d_at = anchor_arrays(d_texts, train_enc_cfg, hasher.analyzer, max_tokens=32)
+        q_ids, q_mask = hasher.encode(q_texts, max_tokens=q_tokens)
+        d_ids, d_mask = hasher.encode(d_texts, max_tokens=d_tokens)
+        q_ap, q_at = anchor_arrays(q_texts, train_enc_cfg, hasher.analyzer, max_tokens=q_tokens)
+        d_ap, d_at = anchor_arrays(d_texts, train_enc_cfg, hasher.analyzer, max_tokens=d_tokens)
         # f16 wire format: anchors dominate the per-step host->device payload on
         # tunneled dev chips (the blend upcasts on device, f16 anchors are exact
         # enough — unit vectors with ~1e-3 components)

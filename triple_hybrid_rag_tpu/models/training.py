@@ -36,6 +36,7 @@ class TrainConfig:
     weight_decay: float = 0.01
     temperature: float = 0.05
     warmup_steps: int = 100
+    decay_steps: int = 10_000  # cosine horizon; set ~= total steps so runs end decayed
     # Matryoshka prefix training (reference semantics: prefix-truncate + renormalize,
     # rag2/embedder.py:40-68): InfoNCE is averaged over these pooled-embedding prefix
     # widths so truncated vectors stay retrieval-quality. () = full width only.
@@ -113,7 +114,7 @@ def create_train_state(
 ) -> Tuple[Encoder, train_state.TrainState]:
     model, params = init_encoder(enc_cfg, seed)
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, train_cfg.learning_rate, train_cfg.warmup_steps, 10_000
+        0.0, train_cfg.learning_rate, train_cfg.warmup_steps, train_cfg.decay_steps
     )
     tx = optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
     state = train_state.TrainState.create(apply_fn=model.apply, params=params, tx=tx)
