@@ -7,8 +7,9 @@ bottleneck (dense-only recall@10 0.318 < 0.35 on the 1500-doc corpus); the fix i
 hard-negative mining. Recipe:
 
 - architecture: models.pretrain.scaled_encoder_config (d512/L8/H8/mlp2048/T96)
-- mixture: paraphrase 0.25 / overlap 0.25 / realtext cloze 0.30 / BM25-confusable
-  hard-negative groups 0.20 over a 12k-doc pool (28 eval-disjoint packages)
+- mixture: paraphrase 0.15 / overlap 0.20 / realtext cloze 0.40 / BM25-confusable
+  hard-negative groups 0.25 over the round-4 DEEP pool (~35k docs, full-depth AST
+  harvest of 47 eval-disjoint packages — pretrain.TRAIN_TEXT_SOURCES_DEEP)
 - asymmetric widths: queries 32 tokens, documents 96 (docs train at the inference
   width so every position embedding serving reads is trained)
 - batch 256 (in-batch negatives scale with batch), lr 6e-4 cosine to ~0 at `steps`
@@ -49,13 +50,14 @@ def main() -> None:
         enc_cfg=scaled_encoder_config(),
         log_every=100,
         lr=6e-4,
-        overlap_frac=0.25,
-        realtext_frac=0.30,
-        hardneg_frac=0.20,
+        overlap_frac=0.20,
+        realtext_frac=0.40,
+        hardneg_frac=0.25,
         q_tokens=32,
         d_tokens=96,
-        realtext_max_docs=12000,
+        realtext_max_docs=35000,
         realtext_window=80,
+        realtext_deep=True,
     )
     wall = time.time() - t0
     print(f"trained {steps} steps in {wall/60:.1f} min -> {path}", flush=True)
@@ -73,10 +75,10 @@ def main() -> None:
         "final_accuracy": metrics.get("accuracy"),
         "paraphrase_holdout_recall@10": rec,
         "recipe": {
-            "batch_size": 256, "lr": 6e-4, "overlap_frac": 0.25,
-            "realtext_frac": 0.30, "hardneg_frac": 0.20,
-            "q_tokens": 32, "d_tokens": 96,
-            "realtext_max_docs": 12000, "realtext_window": 80,
+            "batch_size": 256, "lr": 6e-4, "overlap_frac": 0.20,
+            "realtext_frac": 0.40, "hardneg_frac": 0.25,
+            "q_tokens": 32, "d_tokens": 96, "realtext_deep": True,
+            "realtext_max_docs": 35000, "realtext_window": 80,
             "arch": "d512 L8 H8 mlp2048 T96 vocab32768 (~43M params)",
         },
     }, indent=2))

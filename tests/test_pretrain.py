@@ -317,3 +317,41 @@ def test_warm_start_resumes_from_checkpoint(tmp_path):
             out_path=tmp_path / "x.npz", steps=1, batch_size=8, enc_cfg=wrong,
             log_every=0, realtext_frac=0.0, init_params_path=str(p1),
         )
+
+
+def test_deep_train_sources_disjoint_from_eval_sources():
+    """Round-4 deep pool: the promoted packages must not collide with any eval
+    source (stdlib + eval._PACKAGE_SOURCES), and the bigcorpus eval harvest
+    excludes every deep training package by directory."""
+    from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES
+    from triple_hybrid_rag_tpu.models.pretrain import TRAIN_TEXT_SOURCES_DEEP
+
+    eval_sources = set(_PACKAGE_SOURCES) | {"stdlib"}
+    assert not (set(TRAIN_TEXT_SOURCES_DEEP) & eval_sources)
+
+
+def test_deep_train_docs_disjoint_from_bigcorpus_content_level():
+    """Content-level independence for the round-4 pools: no deep-harvested
+    training document's normalized text hash appears in the bigcorpus eval
+    pool (which excludes training packages by directory AND content). Bounded
+    sample on both sides to keep the suite fast."""
+    import hashlib
+
+    from triple_hybrid_rag_tpu.eval import _ast_documents
+    from triple_hybrid_rag_tpu.models.pretrain import (
+        TRAIN_TEXT_SOURCES_DEEP,
+        realtext_documents_deep,
+    )
+
+    def norm_hash(text: str) -> str:
+        return hashlib.sha256(" ".join(text.split()).lower().encode()).hexdigest()
+
+    train = realtext_documents_deep(max_docs=4000)
+    eval_docs = _ast_documents(
+        min_len=220, max_docs=4000, exclude_top=TRAIN_TEXT_SOURCES_DEEP,
+        exclude_texts={t.strip() for t in train},
+    )
+    assert len(train) > 500 and len(eval_docs) > 500
+    eval_hashes = {norm_hash(t) for _, t in eval_docs}
+    dupes = [t[:60] for t in train if norm_hash(t) in eval_hashes]
+    assert not dupes, f"deep training docs duplicate bigcorpus prose: {dupes[:3]}"

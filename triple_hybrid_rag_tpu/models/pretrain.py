@@ -251,6 +251,22 @@ TRAIN_TEXT_SOURCES = (
     "tqdm", "jsonschema", "cloudpickle",
 )
 
+#: Round-4 deep-harvest training pool: the import list above PLUS large in-image
+#: packages promoted from the unused pool (google/protobuf, TensorFlow, Keras,
+#: NLTK, ...). Harvested by PARSING source files (``eval._ast_documents``), full
+#: depth, ~30k documents — ~5x the round-3 pool, following the measured lesson
+#: that new-author DATA (not more steps) moves dense recall. Still strictly
+#: disjoint from every eval source: "stdlib" and ``eval._PACKAGE_SOURCES``
+#: (numpy/scipy/pandas/jax/torch/einops/chex/transformers/accelerate/haiku)
+#: appear on neither list, and ``make_bigcorpus_eval`` excludes everything here
+#: by directory AND content hash.
+TRAIN_TEXT_SOURCES_DEEP = TRAIN_TEXT_SOURCES + (
+    "google", "tensorflow", "tf_keras", "keras", "nltk", "OpenGL", "PIL",
+    "pygame", "mujoco", "mpmath", "huggingface_hub", "libcst", "tensorboard",
+    "more_itertools", "babel", "prompt_toolkit", "pyparsing", "hypothesis",
+    "werkzeug", "oauthlib",
+)
+
 _REALTEXT_CACHE: Dict[tuple, List[str]] = {}
 
 
@@ -265,6 +281,25 @@ def realtext_documents(
         _REALTEXT_CACHE[key] = [
             t for _, t in _stdlib_documents(max_docs=max_docs, sources=sources)
         ]
+    return _REALTEXT_CACHE[key]
+
+
+def realtext_documents_deep(
+    max_docs: int = 40000,
+    sources: Sequence[str] = TRAIN_TEXT_SOURCES_DEEP,
+    min_len: int = 300,
+) -> List[str]:
+    """Round-4 deep training pool: full-depth AST harvest over the training
+    packages' source trees (no imports, no side effects; ~30k docs vs the 6k
+    import harvest). Cached per argument set."""
+    key = ("deep", max_docs, tuple(sources), min_len)
+    if key not in _REALTEXT_CACHE:
+        from ..eval import _ast_documents
+
+        self_docs = _ast_documents(
+            min_len=min_len, max_docs=max_docs, include_top=sources
+        )
+        _REALTEXT_CACHE[key] = [t for _, t in self_docs]
     return _REALTEXT_CACHE[key]
 
 
@@ -612,6 +647,7 @@ def train_default_encoder(
     d_tokens: int = 32,
     realtext_max_docs: int = 6000,
     realtext_window: int = 48,
+    realtext_deep: bool = False,
 ):
     """Train the packaged encoder on generated paraphrase pairs and save it.
 
@@ -672,11 +708,13 @@ def train_default_encoder(
 
     from .encoder import anchor_arrays
 
-    real_docs = (
-        realtext_documents(max_docs=realtext_max_docs)
-        if realtext_frac > 0 or hardneg_frac > 0
-        else None
-    )
+    real_docs = None
+    if realtext_frac > 0 or hardneg_frac > 0:
+        real_docs = (
+            realtext_documents_deep(max_docs=realtext_max_docs)
+            if realtext_deep
+            else realtext_documents(max_docs=realtext_max_docs)
+        )
     neighbors = None
     if hardneg_frac > 0 and real_docs:
         neighbors = bm25_neighbor_map(real_docs)
