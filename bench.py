@@ -368,7 +368,7 @@ def main():
     log(f"dispatch floor (trivial jitted op round-trip) p50={dispatch_floor_ms:.2f} ms")
 
     rng = np.random.default_rng(42)
-    n_rows = max(BATCH * 2, N_SINGLE)
+    n_rows = max(BATCH * 4, 256, N_SINGLE)  # >= 256 rows for the sanity sample
     # target rows are multiples of 5 so the MaxSim parent token store covers them
     rows = (rng.integers(0, N // 5, size=n_rows) * 5).astype(np.int64)
     texts, is_graph = make_query_texts(rows, term_ids_doc, rng)
@@ -377,18 +377,31 @@ def main():
         return np.asarray(out[0])  # forces completion incl. result transfer
 
     # ---- compile + sanity (text in -> final top-k out; self-retrieval) ----
+    # Sample >= 256 plain queries: the old single-batch sample (~45 plain) put
+    # +-3 pp of binomial noise on the reported fraction — the round-3 "0.955 ->
+    # 0.909 regression" was a 2-query delta inside that noise band.
     log("compiling batch program + running sanity ...")
     t0 = time.time()
     plans, out = engine.search_arrays(texts[:BATCH])
     ids = fetch(out)
     log(f"compile+first batch: {time.time()-t0:.1f}s")
-    plain = ~is_graph[:BATCH]
-    hits = sum(int(rows[i]) in ids[i].tolist() for i in range(BATCH) if plain[i])
-    sanity_frac = hits / max(1, int(plain.sum()))
-    graph_used = sum(1 for p in plans if p.requires_graph)
-    log(f"e2e self-retrieval: {hits}/{int(plain.sum())} plain queries have their row "
+    sanity_batches = max(1, min(256 // BATCH, len(texts) // BATCH))
+    hits, n_plain, graph_used = 0, 0, 0
+    for bi in range(sanity_batches):
+        lo = bi * BATCH
+        if bi > 0:
+            plans, out = engine.search_arrays(texts[lo : lo + BATCH])
+            ids = fetch(out)
+        graph_used += sum(1 for p in plans if p.requires_graph)
+        for i in range(BATCH):
+            if is_graph[lo + i]:
+                continue
+            n_plain += 1
+            hits += int(int(rows[lo + i]) in ids[i].tolist())
+    sanity_frac = hits / max(1, n_plain)
+    log(f"e2e self-retrieval: {hits}/{n_plain} plain queries have their row "
         f"in final top-{cfg.final_top_k} ({sanity_frac:.2f}); "
-        f"{graph_used}/{BATCH} queries exercised the graph channel")
+        f"{graph_used}/{sanity_batches * BATCH} queries exercised the graph channel")
     sanity_ok = sanity_frac >= 0.8
 
     # ---- END-TO-END batched: text -> prep -> upload -> dispatch -> fetch ----

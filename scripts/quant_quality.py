@@ -58,8 +58,14 @@ def main() -> int:
         base, n_docs=args.docs, n_queries=args.queries, sources=sources
     )
     results: dict = {}
+    # "int4_8m" prices the ACTUAL 8M one-chip configuration (int4 dense rows +
+    # int8 MaxSim tokens + maxsim_dim 32 — bench.py's BENCH_MAXSIM_DIM=32), not
+    # just the dtype in isolation (round-3 verdict weak #5).
     for dtype in (d.strip() for d in args.dtypes.split(",")):
-        cfg_d = base.replace(embedding_dtype=dtype)
+        if dtype == "int4_8m":
+            cfg_d = base.replace(embedding_dtype="int4", maxsim_dim=32)
+        else:
+            cfg_d = base.replace(embedding_dtype=dtype)
         row: dict = {}
         for name, cfg in {
             "dense_only": cfg_d.replace(lexical_enabled=False, rerank_enabled=False),

@@ -33,7 +33,7 @@ CORPORA = {
 }
 
 
-def run_corpus(name, base, n_docs, n_queries, sources, k, variants):
+def run_corpus(name, base, n_docs, n_queries, sources, k, variants, seed=0):
     from triple_hybrid_rag_tpu.eval import evaluate, make_stdlib_eval
     from triple_hybrid_rag_tpu.index.bm25_index import build_bm25_index
     from triple_hybrid_rag_tpu.index.dense_index import build_dense_index
@@ -44,7 +44,7 @@ def run_corpus(name, base, n_docs, n_queries, sources, k, variants):
 
     t0 = time.time()
     data = make_stdlib_eval(
-        base, n_docs=n_docs, n_queries=n_queries, seed=0, sources=sources
+        base, n_docs=n_docs, n_queries=n_queries, seed=seed, sources=sources
     )
     embedder = get_default_embedder(base)
     texts = data.corpus.child_texts()
@@ -60,7 +60,9 @@ def run_corpus(name, base, n_docs, n_queries, sources, k, variants):
     for vname, cfg in variants(base).items():
         t0 = time.time()
         r = Retriever.from_indexes(
-            data.corpus, cfg, bm25_index=bm25, dense_index=dense,
+            data.corpus, cfg,
+            bm25_index=bm25 if cfg.lexical_enabled else None,
+            dense_index=dense if cfg.semantic_enabled else None,
             maxsim_index=maxsim if (cfg.rerank_enabled and cfg.rerank_backend == "maxsim") else None,
             embedder=embedder,
         )
@@ -75,6 +77,8 @@ def run_corpus(name, base, n_docs, n_queries, sources, k, variants):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpora", default="stdlib500,docs1500,docs4000")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="query-sample seed: 0 = tune half, 7 = validate half")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--encoder-path", default=None)
     ap.add_argument("--anchor-w2", type=float, default=None)
@@ -100,6 +104,8 @@ def main() -> int:
 
     def variants(b: RAGConfig):
         return {
+            "lexical_only": b.replace(semantic_enabled=False, rerank_enabled=False),
+            "dense_only": b.replace(lexical_enabled=False, rerank_enabled=False),
             "hybrid": b.replace(rerank_enabled=False),
             "rerank_maxsim_b00": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.0),
             "rerank_maxsim_b03": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.3),
@@ -108,14 +114,14 @@ def main() -> int:
             "rerank_dot_b03": b.replace(rerank_backend="dot", rerank_blend_rrf=0.3),
         }
 
-    payload = {"k": args.k, "encoder_path": args.encoder_path,
+    payload = {"k": args.k, "seed": args.seed, "encoder_path": args.encoder_path,
                "anchor_w2": args.anchor_w2, "corpora": {}}
     for name in (c.strip() for c in args.corpora.split(",")):
         n_docs, n_queries, sources = CORPORA[name]
         if sources == "all":
             sources = ("stdlib",) + _PACKAGE_SOURCES
         payload["corpora"][name] = run_corpus(
-            name, base, n_docs, n_queries, sources, args.k, variants
+            name, base, n_docs, n_queries, sources, args.k, variants, seed=args.seed
         )
 
     out = pathlib.Path(args.out)

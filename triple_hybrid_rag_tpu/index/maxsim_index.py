@@ -125,7 +125,14 @@ def build_maxsim_index(
 def _pack_tokens(toks: np.ndarray, embedding_dtype: str) -> np.ndarray:
     """float token rows -> storage dtype. int8 uses the static unit-vector scale
     (ops/maxsim.INT8_TOKEN_SCALE); scoring dequantizes transparently."""
-    if embedding_dtype == "int8":
+    if embedding_dtype in ("int8", "int4"):
+        # int4 selects minimal-HBM storage for the DENSE rows; token rows have no
+        # packed-nibble kernel, so they store int8 — the same pairing the 8M
+        # one-chip bench uses (bench.py: "MaxSim tokens stay int8 under int4
+        # dense"). Scoring dequantizes by dtype (ops/maxsim.py), so this is
+        # transparent. Previously int4 silently kept f32 tokens, which both
+        # contradicted the dtype's HBM intent and made quant_quality.py price a
+        # config the bench never runs.
         from ..ops.maxsim import INT8_TOKEN_SCALE
 
         return np.clip(np.round(toks * INT8_TOKEN_SCALE), -127, 127).astype(np.int8)
