@@ -40,7 +40,11 @@ def main() -> int:
 
     from triple_hybrid_rag_tpu.analyzer import Analyzer
     from triple_hybrid_rag_tpu.config import RAGConfig
-    from triple_hybrid_rag_tpu.eval import evaluate, make_bigcorpus_eval
+    from triple_hybrid_rag_tpu.eval import (
+        evaluate_batched,
+        make_bigcorpus_eval,
+    )
+    from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
     from triple_hybrid_rag_tpu.index.bm25_index import build_bm25_index
     from triple_hybrid_rag_tpu.index.dense_index import build_dense_index
     from triple_hybrid_rag_tpu.index.maxsim_index import build_maxsim_index
@@ -103,7 +107,8 @@ def main() -> int:
             maxsim_index=maxsim if (cfg.rerank_enabled and cfg.rerank_backend == "maxsim") else None,
             embedder=embedder,
         )
-        res = evaluate(lambda q: r.retrieve(q, top_k=args.k), data.queries, k=args.k)
+        eng = ShardedEngine(r, corpus_mesh())
+        res = evaluate_batched(eng, data.queries, k=args.k)
         res["elapsed_s"] = round(time.time() - t0, 1)
         results[name] = res
         print(f"{name}: recall@{args.k}={res[f'recall@{args.k}']:.4f} "

@@ -27,14 +27,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 CORPORA = {
     # name -> (n_docs, n_queries, sources)
+    "smoke": (80, 25, ("stdlib",)),
     "stdlib500": (500, 150, ("stdlib",)),
-    "docs1500": (1500, 400, "all"),
+    "docs1500": (1500, 450, "all"),
     "docs4000": (4000, 600, "all"),
 }
 
 
-def run_corpus(name, base, n_docs, n_queries, sources, k, variants, seed=0):
-    from triple_hybrid_rag_tpu.eval import evaluate, make_stdlib_eval
+def run_corpus(name, base, n_docs, n_queries, sources, k, variants, seed=0,
+               use_engine=False):
+    from triple_hybrid_rag_tpu.eval import (
+        evaluate, evaluate_batched, make_stdlib_eval,
+    )
     from triple_hybrid_rag_tpu.index.bm25_index import build_bm25_index
     from triple_hybrid_rag_tpu.index.dense_index import build_dense_index
     from triple_hybrid_rag_tpu.index.maxsim_index import build_maxsim_index
@@ -66,7 +70,13 @@ def run_corpus(name, base, n_docs, n_queries, sources, k, variants, seed=0):
             maxsim_index=maxsim if (cfg.rerank_enabled and cfg.rerank_backend == "maxsim") else None,
             embedder=embedder,
         )
-        res = evaluate(lambda q: r.retrieve(q, top_k=k), data.queries, k=k)
+        if use_engine:
+            from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
+
+            eng = ShardedEngine(r, corpus_mesh())
+            res = evaluate_batched(eng, data.queries, k=k)
+        else:
+            res = evaluate(lambda q: r.retrieve(q, top_k=k), data.queries, k=k)
         res["elapsed_s"] = round(time.time() - t0, 1)
         out["variants"][vname] = res
         print(f"[{name}] {vname}: recall@{k}={res[f'recall@{k}']:.3f} "
@@ -82,6 +92,9 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--encoder-path", default=None)
     ap.add_argument("--anchor-w2", type=float, default=None)
+    ap.add_argument("--engine", action="store_true",
+                    help="evaluate via the batched ShardedEngine (bit-exact vs "
+                         "the staged path; ~10x less tunnel wall time)")
     ap.add_argument("--out", default="eval_results/stage_ablation.json")
     args = ap.parse_args()
 
@@ -121,7 +134,8 @@ def main() -> int:
         if sources == "all":
             sources = ("stdlib",) + _PACKAGE_SOURCES
         payload["corpora"][name] = run_corpus(
-            name, base, n_docs, n_queries, sources, args.k, variants, seed=args.seed
+            name, base, n_docs, n_queries, sources, args.k, variants,
+            seed=args.seed, use_engine=args.engine,
         )
 
     out = pathlib.Path(args.out)

@@ -241,6 +241,41 @@ def evaluate(
     return out
 
 
+def evaluate_batched(
+    engine,
+    queries: Sequence[EvalQuery],
+    k: int = 10,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    """:func:`evaluate` via ``ShardedEngine.retrieve_batch`` — one compiled
+    dispatch per ``batch_size`` queries instead of one funnel round trip per
+    query. Over the tunneled dev chip (~25 ms per blocking RPC) this cuts a
+    400-query eval from ~15 min to ~2 min; the engine's batched program is
+    differential-fuzz-tested bit-exact against the staged path, so the metrics
+    are the same numbers faster."""
+    recalls, ndcgs, mrrs = [], [], []
+    by_kind: Dict[str, List[float]] = {}
+    for lo in range(0, len(queries), batch_size):
+        chunk = queries[lo : lo + batch_size]
+        outs = engine.retrieve_batch([q.text for q in chunk], top_k=k)
+        for q, result in zip(chunk, outs):
+            ranked = [r.chunk_id for r in result.results]
+            r = recall_at_k(ranked, q.relevant_chunk_ids, k)
+            recalls.append(r)
+            ndcgs.append(ndcg_at_k(ranked, q.relevant_chunk_ids, k))
+            mrrs.append(mrr(ranked, q.relevant_chunk_ids))
+            by_kind.setdefault(q.kind, []).append(r)
+    out = {
+        f"recall@{k}": float(np.mean(recalls)),
+        f"ndcg@{k}": float(np.mean(ndcgs)),
+        "mrr": float(np.mean(mrrs)),
+        "n_queries": float(len(queries)),
+    }
+    for kind, vals in by_kind.items():
+        out[f"recall@{k}_{kind}"] = float(np.mean(vals))
+    return out
+
+
 def evaluate_baseline_configs(
     base_cfg: Optional[RAGConfig] = None,
     k: int = 10,
