@@ -95,6 +95,9 @@ def main() -> int:
     ap.add_argument("--engine", action="store_true",
                     help="evaluate via the batched ShardedEngine (bit-exact vs "
                          "the staged path; ~10x less tunnel wall time)")
+    ap.add_argument("--variants", default=None,
+                    help="comma list of variant names to run (default: the "
+                         "original 8-variant set)")
     ap.add_argument("--out", default="eval_results/stage_ablation.json")
     args = ap.parse_args()
 
@@ -116,7 +119,7 @@ def main() -> int:
         base = base.replace(encoder_anchor_pool_w2=args.anchor_w2)
 
     def variants(b: RAGConfig):
-        return {
+        all_v = {
             "lexical_only": b.replace(semantic_enabled=False, rerank_enabled=False),
             "dense_only": b.replace(lexical_enabled=False, rerank_enabled=False),
             "hybrid": b.replace(rerank_enabled=False),
@@ -125,7 +128,29 @@ def main() -> int:
             "rerank_maxsim_b05": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.5),
             "rerank_maxsim_b07": b.replace(rerank_backend="maxsim", rerank_blend_rrf=0.7),
             "rerank_dot_b03": b.replace(rerank_backend="dot", rerank_blend_rrf=0.3),
+            # rerank candidate-depth sweep: the base run reranks only top-20 of
+            # the fused list; MaxSim measured positive there, so a deeper pool
+            # lets it promote docs hybrid ranked 21..depth (reference caps the
+            # pool at 50, retrieval/reranker.py:383 — depth 50 is parity, 100
+            # is the beat-the-reference point since lexical+semantic surface
+            # up to 150 fused candidates).
+            "rerank_maxsim_b03_d50": b.replace(
+                rerank_backend="maxsim", rerank_blend_rrf=0.3, rerank_top_k=50),
+            "rerank_maxsim_b05_d50": b.replace(
+                rerank_backend="maxsim", rerank_blend_rrf=0.5, rerank_top_k=50),
+            "rerank_maxsim_b03_d100": b.replace(
+                rerank_backend="maxsim", rerank_blend_rrf=0.3, rerank_top_k=100,
+                rerank_max_candidates=100),
+            "rerank_maxsim_b05_d100": b.replace(
+                rerank_backend="maxsim", rerank_blend_rrf=0.5, rerank_top_k=100,
+                rerank_max_candidates=100),
         }
+        if args.variants:
+            keep = {v.strip() for v in args.variants.split(",")}
+            return {k: v for k, v in all_v.items() if k in keep}
+        # default set = the original 8 (keeps old artifacts comparable)
+        depth = {k for k in all_v if k.endswith(("_d50", "_d100"))}
+        return {k: v for k, v in all_v.items() if k not in depth}
 
     payload = {"k": args.k, "seed": args.seed, "encoder_path": args.encoder_path,
                "anchor_w2": args.anchor_w2, "corpora": {}}

@@ -102,6 +102,28 @@ def test_callable_reranker_scores_and_fallback(small_config):
     assert out2[0] == pytest.approx(1.0)  # noop fallback: minmax-normalized fused
 
 
+def test_callable_reranker_candidate_cap(small_config):
+    """rerank_max_candidates truncates the pool sent to the model (reference
+    reranker.py:383 caps at 50); uncapped slots keep score 0 (unreranked tail)."""
+    import jax.numpy as jnp
+
+    cfg = small_config.replace(rerank_max_candidates=2)
+    ids = jnp.asarray(np.array([3, 1, 4, -1], np.int32))
+    fused = jnp.asarray(np.array([0.04, 0.03, 0.02, 0.0], np.float32))
+    texts = {1: "b", 3: "a", 4: "c"}
+    seen = []
+
+    def llm(query, docs):
+        seen.append(list(docs))
+        return [0.5] * len(docs)
+
+    rr = CallableReranker(llm, lambda i: texts[i], NoopReranker(cfg), cfg)
+    out = np.asarray(rr.score({"query_text": "q"}, ids, fused))
+    assert seen == [["a", "b"]]  # only the top-2 fused candidates hit the model
+    assert out[0] == out[1] == pytest.approx(0.5)
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
 def test_retriever_with_llm_reranker(small_config):
     cfg = small_config.replace(graph_enabled=False, embedding_dtype="float32",
                                safety_threshold=0.2)

@@ -96,6 +96,11 @@ class CallableReranker:
             # sent as empty-string documents — on the chat-scoring fallback each
             # one costs a full model round trip whose score is masked out anyway
             valid_pos = [j for j, i in enumerate(ids_np) if i >= 0]
+            # cap the pool sent to the model (reference reranker.py:383 caps at
+            # 50): ids arrive in fused-rank order, so truncating the tail keeps
+            # the best candidates; uncapped slots keep score 0 = stay at the
+            # bottom, exactly the reference's "unreranked tail" behavior
+            valid_pos = valid_pos[: max(1, int(self.config.rerank_max_candidates))]
             scores = np.zeros(ids_np.shape, np.float32)
             if valid_pos:
                 texts = [self.texts_of(int(ids_np[j])) for j in valid_pos]
