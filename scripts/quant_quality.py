@@ -26,7 +26,10 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=450)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--sources", default="all")
-    ap.add_argument("--dtypes", default="float32,bfloat16,int8,int4")
+    ap.add_argument("--dtypes", default="float32,bfloat16,int8,int4,int4_8m")
+    ap.add_argument("--engine", action="store_true",
+                    help="evaluate via the batched ShardedEngine (bit-exact vs "
+                         "the staged path; ~10x less tunnel wall time)")
     ap.add_argument("--out", default="eval_results/quant_quality.json")
     args = ap.parse_args()
 
@@ -34,6 +37,7 @@ def main() -> int:
     from triple_hybrid_rag_tpu.eval import (
         _PACKAGE_SOURCES,
         evaluate,
+        evaluate_batched,
         make_stdlib_eval,
     )
     from triple_hybrid_rag_tpu.retrieval import Retriever
@@ -72,9 +76,16 @@ def main() -> int:
             "full_pipeline": cfg_d,
         }.items():
             retriever = Retriever(data.corpus, cfg)
-            row[name] = evaluate(
-                lambda q: retriever.retrieve(q, top_k=args.k), data.queries, k=args.k
-            )
+            if args.engine:
+                from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
+
+                eng = ShardedEngine(retriever, corpus_mesh())
+                row[name] = evaluate_batched(eng, data.queries, k=args.k)
+            else:
+                row[name] = evaluate(
+                    lambda q: retriever.retrieve(q, top_k=args.k), data.queries,
+                    k=args.k,
+                )
         results[dtype] = row
         print(dtype, json.dumps({
             n: round(v[f"recall@{args.k}"], 4) for n, v in row.items()

@@ -395,6 +395,45 @@ def test_graph_small_batch_sparse_override(cfg):
         assert [x.chunk_id for x in a.results] == [x.chunk_id for x in b.results]
 
 
+def test_small_batch_graph_skip_exact(cfg):
+    """Small batches with no graph-requiring plan dispatch the graph-free
+    program variant. A no-seed query's graph channel returns an empty
+    candidate list, so skipping the channel entirely must be EXACT — ids and
+    scores bit-identical to the graph program's output on the same batch."""
+    corpus, gidx = build_fixture(cfg)
+    ret = Retriever(corpus, cfg, graph_index=gidx)
+    eng = ShardedEngine(ret, corpus_mesh())
+
+    plain = ["invoice payment settlement", "password reset security portal"]
+    graphy = "How is Acme Corp related to document 3?"
+    # sanity on the planner split this test depends on
+    assert not any(ret.planner.plan(q).requires_graph for q in plain)
+    assert ret.planner.plan(graphy).requires_graph
+
+    for q in plain:
+        eng.retrieve(q)
+        assert (1, False, False) in eng._programs  # graph-free program dispatched
+        # both program variants on the identical prepared args
+        plans, args = eng.prepare_queries([q])
+        out_g = jax.device_get(eng._program(1, False, True)(*eng._index_args(), *args))
+        out_s = jax.device_get(eng._program(1, False, False)(*eng._index_args(), *args))
+        ids_g, scores_g, refused_g = out_g[0], out_g[1], out_g[2]
+        ids_s, scores_s, refused_s = out_s[0], out_s[1], out_s[2]
+        np.testing.assert_array_equal(ids_s, ids_g, err_msg=q)
+        np.testing.assert_allclose(scores_s, scores_g, rtol=1e-6, err_msg=q)
+        np.testing.assert_array_equal(refused_s, refused_g, err_msg=q)
+
+    # a graph-requiring query in the batch keeps the graph program
+    eng2 = ShardedEngine(Retriever(corpus, cfg, graph_index=gidx), corpus_mesh())
+    eng2.retrieve_batch([plain[0], graphy])
+    assert (2, False, True) in eng2._programs
+    assert (2, False, False) not in eng2._programs
+    # wide batches (> graph_sparse_max_batch) never fork a graph-free variant
+    wide = [plain[0]] * (cfg.graph_sparse_max_batch + 1)
+    eng2.retrieve_batch(wide)
+    assert (len(wide), False, False) not in eng2._programs
+
+
 def test_retrieve_batch_retries_numpy_prep_on_device_failure(cfg):
     """An async device failure surfacing at device_get must trigger ONE retry
     through the numpy prep path (fail-soft ladder), then restore the fast path."""

@@ -497,15 +497,15 @@ class ShardedEngine:
             setattr(self, attr, getattr(new, attr))
         return True  # self._programs preserved: zero recompiles
 
-    def _program(self, batch: int, scoped: bool = False):
-        key = (batch, scoped)
+    def _program(self, batch: int, scoped: bool = False, graph: bool = True):
+        key = (batch, scoped, graph)
         fn = self._programs.get(key)
         if fn is None:
-            fn = self._build_program(batch, scoped)
+            fn = self._build_program(batch, scoped, graph)
             self._programs[key] = fn
         return fn
 
-    def _build_program(self, batch: int, scoped: bool = False):
+    def _build_program(self, batch: int, scoped: bool = False, graph: bool = True):
         cfg = self.config
         mesh = self.mesh
         dp = int(mesh.shape.get("data", 1))
@@ -513,7 +513,7 @@ class ShardedEngine:
             raise ValueError(f"batch {batch} must divide the data axis ({dp})")
         batch = batch // dp  # per-replica batch inside the shard_map body
         k_lex, k_sem, k_graph = cfg.lexical_top_k, cfg.semantic_top_k, cfg.graph_top_k
-        use_graph = self.retriever.graph_index is not None and cfg.graph_enabled
+        use_graph = self.retriever.graph_index is not None and cfg.graph_enabled and graph
         use_sem = self.retriever.dense_index is not None and cfg.semantic_enabled
         use_int8 = use_sem and self._use_int8
         use_int4 = use_sem and self._use_int4
@@ -1053,7 +1053,24 @@ class ShardedEngine:
         """One-dispatch batched search returning raw device results."""
         plans, args = self.prepare_queries(queries, collections)
         scoped = collections is not None and any(c is not None for c in collections)
-        out = self._program(len(queries), scoped)(*self._index_args(), *args)
+        # Small-batch graph skip: a query whose plan doesn't require the graph
+        # channel gets no seeds (prepare_queries), so the channel returns an
+        # empty candidate list and fusion ignores it — dispatching the
+        # graph-free program is EXACT (differential-tested) and removes the
+        # dominant per-dispatch cost at serving batch sizes (the sparse mention
+        # walk is ~2/3 of full-pipeline device time at 1M chunks, B=1). Bounded
+        # to graph_sparse_max_batch widths so at most that many extra programs
+        # compile; typical traffic (reference: most queries are non-relational,
+        # rag2/query_planner.py intent rules) then pays only lexical+dense.
+        graph = True
+        if (
+            self.retriever.graph_index is not None
+            and self.config.graph_enabled
+            and len(queries) <= self.config.graph_sparse_max_batch
+            and not any(p.requires_graph for p in plans)
+        ):
+            graph = False
+        out = self._program(len(queries), scoped, graph)(*self._index_args(), *args)
         return plans, out
 
     def retrieve(
