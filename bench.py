@@ -464,16 +464,28 @@ def main():
     log(f"DEVICE-ONLY batched: {dev_ms:.3f} ms/query, {N_BATCHES*BATCH/dev_s:.0f} QPS")
 
     # ---- single-query end-to-end latency ----
-    engine.search_arrays([texts[0]])  # compile width 1
-    lat = []
+    # compile BOTH width-1 program variants before timing: non-relational
+    # plans dispatch the graph-free program (engine.search_arrays graph-skip),
+    # relational plans the full one — warm each so no compile lands in the loop
+    warm_plain = next(t for t, g in zip(texts, is_graph) if not g)
+    warm_graph = next((t for t, g in zip(texts, is_graph) if g), None)
+    fetch(engine.search_arrays([warm_plain])[1])
+    if warm_graph is not None:
+        fetch(engine.search_arrays([warm_graph])[1])
+    lat, lat_graph = [], []
     for i in range(N_SINGLE):
         t0 = time.perf_counter()
         fetch(engine.search_arrays([texts[i % n_rows]])[1])
-        lat.append((time.perf_counter() - t0) * 1e3)
-    lat = np.array(lat)
-    p50, p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+        (lat_graph if is_graph[i % n_rows] else lat).append(
+            (time.perf_counter() - t0) * 1e3
+        )
+    both = np.array(lat + lat_graph)
+    p50, p95 = float(np.percentile(both, 50)), float(np.percentile(both, 95))
+    p50_plain = float(np.percentile(lat, 50)) if lat else p50
+    p50_graph = float(np.percentile(lat_graph, 50)) if lat_graph else p50
     log(f"single-query E2E latency p50={p50:.2f}ms p95={p95:.2f}ms "
-        f"(dispatch floor {dispatch_floor_ms:.1f}ms)")
+        f"(plain p50={p50_plain:.2f}ms, graph p50={p50_graph:.2f}ms, "
+        f"dispatch floor {dispatch_floor_ms:.1f}ms)")
 
     print(json.dumps({
         "metric": "triple_hybrid_e2e_batched_query_latency_1M_chunks",
@@ -486,6 +498,8 @@ def main():
         "batch_size": BATCH,
         "single_query_e2e_p50_ms": round(p50, 3),
         "single_query_e2e_p95_ms": round(p95, 3),
+        "single_query_plain_p50_ms": round(p50_plain, 3),
+        "single_query_graph_p50_ms": round(p50_graph, 3),
         "single_query_vs_baseline": round(BASELINE_P50_MS / p50, 2),
         "dispatch_floor_ms": round(dispatch_floor_ms, 3),
         "n_chunks": N,

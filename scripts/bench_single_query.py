@@ -46,11 +46,15 @@ engine = ShardedEngine(retr, corpus_mesh())
 
 rng = np.random.default_rng(42)
 rows = (rng.integers(0, N // 5, size=40) * 5).astype(np.int64)
-texts, _ = make_query_texts(rows, term_ids_doc, rng)
+texts, is_graph = make_query_texts(rows, term_ids_doc, rng)
 
-# compile width 1
-engine.search_arrays([texts[0]])
-prog = engine._program(1, False)
+# compile BOTH width-1 variants (search_arrays dispatches the graph-free
+# program for non-relational plans — the typical serving path)
+plain_texts = [t for t, g in zip(texts, is_graph) if not g]
+graph_texts = [t for t, g in zip(texts, is_graph) if g]
+engine.search_arrays([plain_texts[0]])
+if graph_texts:
+    engine.search_arrays([graph_texts[0]])
 idx_args = engine._index_args()
 
 # dispatch floor
@@ -62,9 +66,14 @@ for _ in range(10):
     t0 = time.perf_counter(); np.asarray(trivial(x)); fl.append((time.perf_counter()-t0)*1e3)
 log(f"dispatch floor p50 = {np.percentile(fl, 50):.2f} ms")
 
+WHICH = os.environ.get("BENCH_SQ_CLASS", "plain")  # plain | graph
+pool = plain_texts if WHICH == "plain" else graph_texts
+prog = engine._program(1, False, WHICH == "graph")
+log(f"decomposing the {WHICH}-query path ({len(pool)} distinct queries)")
+
 stages = {k: [] for k in ("plan+prep", "device_put", "dispatch", "fetch", "total")}
 for i in range(20):
-    q = texts[i % len(texts)]
+    q = pool[i % len(pool)]
     t0 = time.perf_counter()
     # --- host prep without the device_put: replicate prepare_queries split ---
     import triple_hybrid_rag_tpu.parallel.engine as eng_mod
@@ -93,6 +102,20 @@ for i in range(20):
     stages["fetch"].append((t3 - t2) * 1e3)
     stages["total"].append((t3 - t0) * 1e3)
 
+payload = {
+    "n_chunks": N, "dtype": DTYPE, "query_class": WHICH,
+    "dispatch_floor_p50_ms": round(float(np.percentile(fl, 50)), 2),
+    "device": str(jax.devices()[0]),
+    "stages_ms": {},
+}
 for k, v in stages.items():
     v = np.array(v)
     log(f"{k:>11}: p50={np.percentile(v,50):7.2f} ms  p95={np.percentile(v,95):7.2f} ms")
+    payload["stages_ms"][k] = {
+        "p50": round(float(np.percentile(v, 50)), 2),
+        "p95": round(float(np.percentile(v, 95)), 2),
+    }
+import json, pathlib
+out_path = pathlib.Path(f"/root/repo/eval_results/single_query_decomp_{N}_{WHICH}.json")
+out_path.write_text(json.dumps(payload, indent=1))
+log(f"-> {out_path}")
