@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--encoder-path", default=None)
     ap.add_argument("--embed-batch", type=int, default=512)
     ap.add_argument("--latency-queries", type=int, default=60)
+    ap.add_argument("--variants", default=None,
+                    help="comma list of variant names to run (default: all)")
     ap.add_argument("--out", default="eval_results/bigcorpus.json")
     args = ap.parse_args()
 
@@ -95,7 +97,14 @@ def main() -> int:
         "dense_only": base.replace(lexical_enabled=False, rerank_enabled=False),
         "hybrid_rrf": base.replace(rerank_enabled=False),
         "full_pipeline": base,
+        # deeper rerank pool at the reference's 50-candidate cap (the depth
+        # sweep on the small corpora showed depth buys recall on document
+        # corpora at both seeds — stage_ablation_depth*.json)
+        "full_b05_d50": base.replace(rerank_blend_rrf=0.5, rerank_top_k=50),
     }
+    if args.variants:
+        keep = {v.strip() for v in args.variants.split(",")}
+        variants = {k: v for k, v in variants.items() if k in keep}
     results = {}
     latency = {}
     for name, cfg in variants.items():
@@ -115,13 +124,16 @@ def main() -> int:
               f"ndcg={res[f'ndcg@{args.k}']:.4f} ({res['elapsed_s']}s)", flush=True)
 
         # per-query latency on the same corpus+indexes (quality and latency in
-        # one regime for the first time — r3 weak #9)
+        # one regime for the first time — r3 weak #9). Uses the engine's
+        # one-dispatch B=1 path — what server.py actually serves — not the
+        # staged retriever, whose ~10 blocking RPCs each pay the dev tunnel's
+        # ~25 ms floor and would report tunnel overhead, not engine latency.
         qs = [q.text for q in data.queries[: args.latency_queries]]
-        r.retrieve(qs[0], top_k=args.k)  # warm the compile cache
+        eng.retrieve(qs[0], top_k=args.k)  # warm the compile cache
         times = []
         for q in qs:
             t1 = time.perf_counter()
-            r.retrieve(q, top_k=args.k)
+            eng.retrieve(q, top_k=args.k)
             times.append((time.perf_counter() - t1) * 1e3)
         latency[name] = {
             "p50_ms": float(np.percentile(times, 50)),
