@@ -247,6 +247,20 @@ class GraphIndex:
             }
         raise ValueError(f"unknown graph op {op!r}")
 
+    def execute_cypher(
+        self, cypher: str, parameters: Optional[dict] = None
+    ) -> dict:
+        """Execute raw Cypher text (the reference planner's output format).
+
+        Drop-in analogue of ``execute_query_plan_cypher`` (reference
+        puppygraph.py:400): translates the practical Cypher subset the
+        reference's planner and graph layer emit (index/cypher.py) onto the
+        structured op and executes it on the device graph. Raises
+        ``CypherTranslationError`` outside the subset — fail loud, not wrong."""
+        from .cypher import translate_cypher
+
+        return self.execute_query(translate_cypher(cypher, parameters))
+
     def entity_distances(self, entity_name: str, hops: int = 2) -> Dict[str, float]:
         """Debug/observability helper: entity name -> hop distance map."""
         ents = self.entity_lookup(entity_name)

@@ -222,14 +222,37 @@ class CallablePlanner:
 
     def _parse(self, query: str, data: dict, base: QueryPlan) -> QueryPlan:
         weights = data.get("weights") or base.weights
+        graph_query = data.get("graph_query")
+        graph_entities = list(data.get("graph_entities") or base.graph_entities)
+        requires_graph = bool(data.get("requires_graph", base.requires_graph))
+        cypher = data.get("cypher_query")
+        if graph_query is None and cypher:
+            # the reference's planner emits raw Cypher in this field
+            # (query_planner.py:78,167); lower it to the structured op the
+            # device graph executes (index/cypher.py). Untranslatable Cypher
+            # degrades to the rule seeds, not to a failed plan.
+            try:
+                from ..index.cypher import translate_cypher
+
+                graph_query = translate_cypher(str(cypher))
+                requires_graph = True
+                for key in ("entity", "from", "to"):
+                    name = graph_query.get(key)
+                    if name and name not in graph_entities:
+                        graph_entities.append(str(name))
+                for kw in graph_query.get("keywords", ()):
+                    if kw not in graph_entities:
+                        graph_entities.append(str(kw))
+            except Exception:
+                graph_query = None
         return QueryPlan(
             original_query=query,
             keywords=list(data.get("keywords") or base.keywords),
             lexical_top_k=self.config.lexical_top_k,
             semantic_query_text=data.get("semantic_query_text") or query,
             semantic_top_k=self.config.semantic_top_k,
-            graph_entities=list(data.get("graph_entities") or base.graph_entities),
-            graph_query=data.get("graph_query"),
+            graph_entities=graph_entities,
+            graph_query=graph_query,
             graph_top_k=self.config.graph_top_k,
             weights={
                 "lexical": float(weights.get("lexical", base.weights["lexical"])),
@@ -237,8 +260,7 @@ class CallablePlanner:
                 "graph": float(weights.get("graph", base.weights["graph"])),
             },
             intent=data.get("intent", base.intent),
-            requires_graph=bool(data.get("requires_graph", base.requires_graph))
-            and self.config.graph_enabled,
+            requires_graph=requires_graph and self.config.graph_enabled,
         )
 
 

@@ -282,7 +282,10 @@ class QueryPlan:
     semantic_query_text: str = ""
     semantic_top_k: int = 100
     graph_entities: List[str] = field(default_factory=list)  # entity names for the graph channel
-    graph_query: Optional[str] = None  # textual graph query (reference: cypher_query)
+    # structured graph op (GraphIndex.execute_query shape) or raw query text;
+    # LLM planners emitting the reference's cypher_query field get translated
+    # to the structured op by CallablePlanner (index/cypher.py shim)
+    graph_query: Optional[object] = None
     graph_top_k: int = 50
     weights: Dict[str, float] = field(
         default_factory=lambda: {"lexical": 0.7, "semantic": 0.8, "graph": 1.0}
