@@ -18,7 +18,10 @@ def test_defaults_match_reference():
     assert cfg.denoise_alpha == pytest.approx(0.6)
     # channel top-k defaults (reference config.py:310-314)
     assert (cfg.lexical_top_k, cfg.semantic_top_k, cfg.graph_top_k) == (50, 100, 50)
-    assert (cfg.rerank_top_k, cfg.final_top_k) == (20, 5)
+    # deliberate divergence from the reference's rerank_top_k=20: the 50-deep
+    # pool (= the reference reranker's own candidate cap, reranker.py:383)
+    # measured +1.9pp recall@10 at 33k docs and 5/6 seed cells (config.py:113)
+    assert (cfg.rerank_top_k, cfg.final_top_k) == (50, 5)
     # chunk sizing (reference rag2/chunker.py:30-51)
     assert cfg.parent_chunk_tokens == 1000
     assert cfg.child_chunk_tokens == 200

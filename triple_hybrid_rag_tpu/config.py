@@ -110,7 +110,12 @@ class RAGConfig:
     lexical_top_k: int = 50
     semantic_top_k: int = 100
     graph_top_k: int = 50
-    rerank_top_k: int = 20
+    # rerank pool = the reference's 50-candidate cap (retrieval/reranker.py:383).
+    # Depth sweep (stage_ablation_depth*.json, bigcorpus_depth.json): d50 beats
+    # d20 on 5/6 small-corpus seed cells and by +1.9pp recall@10 on the 33k-doc
+    # corpus (0.4487 = lexical +5.9pp), at negligible single-query latency cost
+    # below ~100k children (MaxSim pool gather scales with this).
+    rerank_top_k: int = 50
     final_top_k: int = 5
 
     # ---- chunking (reference rag2/chunker.py:30-51) ----
@@ -223,10 +228,11 @@ class RAGConfig:
     # LightweightReranker blends term-overlap with rrf/similarity the same way
     # (retrieval/reranker.py:590-660); 0 = pure late-interaction reorder. The
     # safety/denoise gate always sees the pure calibrated rerank score
-    # (ops/fusion.py apply_safety_denoise gate_scores). Default measured on the
-    # independent stdlib corpus: recall@10 0.774 -> 0.815 (0.832 at b=0.5) while
-    # the zero-overlap paraphrase holdout keeps 16/16 rank-1 (15/16 at 0.5).
-    rerank_blend_rrf: float = 0.3
+    # (ops/fusion.py apply_safety_denoise gate_scores). Default 0.5 at the d50
+    # pool: tuned on seed 0, validated on seed 7 + the 33k-doc corpus
+    # (stage_ablation_depth*.json, bigcorpus_depth.json — 0.4487 vs lexical
+    # 0.3894 at 33k; b=0.3 remains better at the d20 pool, stage_ablation*.json).
+    rerank_blend_rrf: float = 0.5
 
     # ---- plan-aware relational overrides ----
     # For relation-mediated intents (relational / entity_lookup) the answer doc
