@@ -30,11 +30,21 @@ def main() -> int:
                     help="k-means ordering clusters (0 = auto n_loc/block; larger = "
                          "finer cluster-major order, purer blocks)")
     ap.add_argument("--sources", default="all")
+    ap.add_argument("--bigcorpus", action="store_true",
+                    help="use the full AST docstring harvest (make_bigcorpus_eval;"
+                         " --docs counts documents there) — the 43M encoder's real"
+                         " clustered geometry at the largest in-image scale, the"
+                         " regime the r3 verdict (weak #8) asked to measure")
     ap.add_argument("--out", default="eval_results/ivf_recall.json")
     args = ap.parse_args()
 
     from triple_hybrid_rag_tpu.config import RAGConfig
-    from triple_hybrid_rag_tpu.eval import _PACKAGE_SOURCES, evaluate, make_stdlib_eval
+    from triple_hybrid_rag_tpu.eval import (
+        _PACKAGE_SOURCES,
+        evaluate,
+        make_bigcorpus_eval,
+        make_stdlib_eval,
+    )
     from triple_hybrid_rag_tpu.parallel import ShardedEngine, corpus_mesh
     from triple_hybrid_rag_tpu.retrieval import Retriever
 
@@ -53,12 +63,37 @@ def main() -> int:
         rerank_enabled=False,
         final_top_k=10,
     )
-    data = make_stdlib_eval(base, n_docs=args.docs, n_queries=args.queries, sources=sources)
+    if args.bigcorpus:
+        data = make_bigcorpus_eval(base, n_docs=args.docs, n_queries=args.queries)
+    else:
+        data = make_stdlib_eval(
+            base, n_docs=args.docs, n_queries=args.queries, sources=sources
+        )
     q_texts = [q.text for q in data.queries]
     print(f"corpus: {args.docs} docs, {len(q_texts)} queries", file=sys.stderr)
 
+    # embed ONCE; each probe setting only re-derives its IVF ordering from the
+    # same vectors (build_dense_index is host-side cheap; the encoder forward
+    # over 50k+ children is the expensive part and must not repeat per row)
+    import numpy as np
+
+    from triple_hybrid_rag_tpu.index.dense_index import build_dense_index
+    from triple_hybrid_rag_tpu.models.embedder import get_default_embedder
+
+    embedder = get_default_embedder(base)
+    texts = data.corpus.child_texts()
+    vec_chunks = []
+    for i in range(0, len(texts), 512):
+        vec_chunks.append(np.asarray(embedder.embed_texts(texts[i : i + 512])))
+    vecs = np.concatenate(vec_chunks, axis=0)
+    print(f"embedded {len(texts)} children once", file=sys.stderr)
+
     def run(cfg):
-        eng = ShardedEngine(Retriever(data.corpus, cfg), corpus_mesh())
+        r = Retriever.from_indexes(
+            data.corpus, cfg, dense_index=build_dense_index(vecs, cfg),
+            embedder=embedder,
+        )
+        eng = ShardedEngine(r, corpus_mesh())
         t0 = time.time()
         outs = []
         for i in range(0, len(q_texts), 64):
