@@ -94,6 +94,55 @@ def test_image_without_text_falls_back_to_hash():
     np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
 
 
+def _photo_png(seed: int, brightness: float = 0.0, size: int = 96) -> bytes:
+    """Synthetic 'photo': smooth low-frequency RGB noise (no recognizable text)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    small = rng.uniform(0, 1, (6, 6, 3))
+    img = Image.fromarray((small * 255).astype(np.uint8)).resize(
+        (size, size), Image.BILINEAR
+    )
+    arr = np.clip(np.asarray(img, np.float32) + brightness * 255.0, 0, 255)
+    buf = io.BytesIO()
+    Image.fromarray(arr.astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_visual_fallback_similarity_structure():
+    """Non-text images embed by perceptual features: a re-encoded/slightly
+    brightened copy of a photo stays close under cosine, a different photo is
+    farther, and the vector is deterministic (dedup semantics preserved)."""
+    pytest.importorskip("PIL")
+    e = BowHashEmbedder(dim=256)
+    a = _photo_png(seed=1)
+    a_bright = _photo_png(seed=1, brightness=0.06)
+    b = _photo_png(seed=2)
+    va = e._visual_image_vec(a)
+    va2 = e._visual_image_vec(a)
+    vab = e._visual_image_vec(a_bright)
+    vb = e._visual_image_vec(b)
+    assert va is not None and vab is not None and vb is not None
+    np.testing.assert_array_equal(va, va2)
+    np.testing.assert_allclose(np.linalg.norm(va), 1.0, rtol=1e-5)
+    cos_near = float(va @ vab)
+    cos_far = float(va @ vb)
+    assert cos_near > 0.9, cos_near
+    assert cos_near > cos_far + 0.2, (cos_near, cos_far)
+    # end-to-end: embed_images routes an un-OCR-able image through the visual
+    # path (not the orthogonal content hash) and stays deterministic
+    out = e.embed_images([a, a])
+    np.testing.assert_array_equal(out[0], out[1])
+    assert abs(float(out[0] @ e._hash_image_vec(a))) < 0.5
+
+
+def test_visual_fallback_undecodable_keeps_hash():
+    e = BowHashEmbedder(dim=64)
+    assert e._visual_image_vec(b"\x89PNG\r\n\x1a\nnot really") is None
+
+
 def test_encoder_embedder_supports_images():
     from triple_hybrid_rag_tpu.models.encoder import EncoderEmbedder
 

@@ -62,10 +62,18 @@ class _ImageHashMixin:
     HTTP vision LLM -> pytesseract -> glyph matcher) and confident recognized
     text embeds with the SAME text embedder as the rest of the corpus, making
     image content cross-retrievable against text queries. Images with no
-    recognizable text (photos, low confidence) fall back to a unit Gaussian
-    seeded by the content hash, preserving identical-bytes => identical-vector
-    dedup/self-retrieval. Swap a real vision encoder in by overriding
-    ``embed_images``."""
+    recognizable text (photos, diagrams, low confidence) embed by PERCEPTUAL
+    features (``_visual_image_vec``): a luminance grid + color histogram +
+    gradient-energy grid projected through a fixed seeded Gaussian matrix, so
+    visually similar images land near each other under cosine (near-duplicate
+    and "find similar figures" retrieval) — unlike a content hash, where a
+    one-pixel edit is orthogonal. Identical bytes still map to identical
+    vectors (decode is deterministic), preserving dedup/self-retrieval.
+    Undecodable payloads keep the content-hash unit Gaussian as last resort.
+    Hermetic bound: visual features are not ALIGNED to text semantics the way
+    the reference's multimodal model is — text->photo cross-modal retrieval
+    needs a real vision encoder (override ``embed_images`` or use the HTTP
+    embedder adapter)."""
 
     dim: int
 
@@ -97,6 +105,63 @@ class _ImageHashMixin:
         v = np.random.default_rng(seed).standard_normal(self.dim).astype(np.float32)
         return v / np.linalg.norm(v)
 
+    # fixed projection matrices cached per embedding dim (class-level: every
+    # embedder instance of the same dim shares one visual subspace)
+    _VISUAL_FEAT_DIM = 256 + 64 + 64 + 64  # lum grid + color hist + |dx| + |dy|
+    _visual_proj_cache: dict = {}
+
+    @classmethod
+    def _visual_projection(cls, dim: int) -> np.ndarray:
+        proj = cls._visual_proj_cache.get(dim)
+        if proj is None:
+            rng = np.random.default_rng(_seed_from("visual-feature-projection"))
+            proj = rng.standard_normal((cls._VISUAL_FEAT_DIM, dim)).astype(np.float32)
+            proj /= np.sqrt(cls._VISUAL_FEAT_DIM)
+            cls._visual_proj_cache[dim] = proj
+        return proj
+
+    def _visual_image_vec(self, data: bytes) -> Optional[np.ndarray]:
+        """Perceptual-feature embedding for images without recognizable text.
+
+        The reference embeds ANY image through its vision model
+        (core/embedder.py:141-210); hermetically we cover the image->image
+        similarity half of that contract: a 16x16 contrast-normalized
+        luminance grid, a 4x4x4 RGB histogram, and 8x8 horizontal/vertical
+        gradient-energy grids (448 features) are projected to ``dim`` with a
+        fixed seeded Gaussian matrix and L2-normalized. Deterministic; returns
+        None when the payload cannot be decoded (caller falls back to hash)."""
+        try:
+            import io as _io
+
+            from PIL import Image
+
+            img = Image.open(_io.BytesIO(data)).convert("RGB")
+            img = img.resize((32, 32), Image.BILINEAR)
+            rgb = np.asarray(img, np.float32) / 255.0  # [32, 32, 3]
+        except Exception:
+            return None
+        gray = rgb @ np.array([0.299, 0.587, 0.114], np.float32)  # [32, 32]
+        # 16x16 luminance grid, brightness/contrast normalized
+        g16 = gray.reshape(16, 2, 16, 2).mean(axis=(1, 3))
+        g16 = g16 - g16.mean()
+        g16 /= np.linalg.norm(g16) + 1e-6
+        # 4x4x4 RGB histogram (L1) — color composition, layout-invariant
+        q = np.minimum((rgb * 4.0).astype(np.int32), 3)
+        bins = (q[..., 0] * 16 + q[..., 1] * 4 + q[..., 2]).ravel()
+        hist = np.bincount(bins, minlength=64).astype(np.float32)
+        hist /= hist.sum() + 1e-6
+        # 8x8 gradient-energy grids — edge structure (diagram vs photo texture)
+        dx = np.pad(np.abs(np.diff(gray, axis=1)), ((0, 0), (0, 1)))
+        dy = np.pad(np.abs(np.diff(gray, axis=0)), ((0, 1), (0, 0)))
+        ex = dx.reshape(8, 4, 8, 4).mean(axis=(1, 3)).ravel()
+        ey = dy.reshape(8, 4, 8, 4).mean(axis=(1, 3)).ravel()
+        for e in (ex, ey):
+            e /= np.linalg.norm(e) + 1e-6
+        feats = np.concatenate([g16.ravel(), 0.5 * hist, 0.5 * ex, 0.5 * ey])
+        v = feats @ self._visual_projection(self.dim)
+        n = float(np.linalg.norm(v))
+        return v / n if n > 1e-9 else None
+
     def embed_images(self, images: Sequence[bytes]) -> np.ndarray:
         if not images:
             return np.zeros((0, self.dim), np.float32)
@@ -107,7 +172,8 @@ class _ImageHashMixin:
             if text is not None:
                 texts[i] = text
             else:
-                out[i] = self._hash_image_vec(data)
+                vis = self._visual_image_vec(data)
+                out[i] = vis if vis is not None else self._hash_image_vec(data)
         if texts:
             idx = list(texts)
             vecs = self.embed_texts([texts[i] for i in idx])
