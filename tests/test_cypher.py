@@ -104,6 +104,26 @@ def test_unsupported_constructs_fail_loud():
         translate_cypher("MATCH (e {name: $who}) RETURN e")  # unbound param
 
 
+def test_unhonorable_where_filters_fail_loud():
+    """Property filters the device op cannot apply must raise, not silently
+    return an unfiltered superset ('fail loud, not wrong' contract)."""
+    # type filter on the seed: no predicate slot in the structured op
+    with pytest.raises(CypherTranslationError):
+        translate_cypher("MATCH (e {name: 'Acme'}) WHERE e.type = 'PERSON' RETURN e")
+    # name filter on the OTHER variable while the seed is already named
+    with pytest.raises(CypherTranslationError):
+        translate_cypher(
+            "MATCH (a {name: 'Acme'})-[r]-(b) WHERE b.name CONTAINS 'bank' RETURN b"
+        )
+    # tenant scoping clauses are deliberate no-ops (collection masks scope at
+    # retrieval time), matching the tenant_id node-property treatment
+    op = translate_cypher(
+        "MATCH (e {name: 'Acme'})-[r]-(b) WHERE e.tenant_id = $t RETURN b",
+        {"t": "org-1"},
+    )
+    assert op == {"op": "related", "entity": "Acme"}
+
+
 # ---------------------------------------------------------------------------
 # end-to-end on the device graph
 # ---------------------------------------------------------------------------

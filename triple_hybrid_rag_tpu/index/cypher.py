@@ -217,6 +217,29 @@ def _where_clauses(p: _Parser) -> List[Dict[str, Any]]:
     return clauses
 
 
+# WHERE props the device graph scopes by other means: tenant/collection scoping
+# happens via retrieval-time collection row masks, so these clauses are no-ops
+# here by design (same treatment as tenant_id node properties above).
+_SCOPING_PROPS = frozenset(
+    {"tenant_id", "org_id", "organization_id", "collection", "collection_id"}
+)
+
+
+def _check_unconsumed(clauses: List[Dict[str, Any]], consumed: List[int]) -> None:
+    """Fail loud on WHERE filters the structured op cannot honor.
+
+    The device ops (lookup/related/neighborhood/path/keywords) carry no
+    property-filter predicate, so silently dropping a clause would return an
+    unfiltered superset — 'fail loud, not wrong' (module contract)."""
+    for c in clauses:
+        if id(c) in consumed or c["prop"].lower() in _SCOPING_PROPS:
+            continue
+        raise CypherTranslationError(
+            f"unsupported WHERE filter {c['var']}.{c['prop']} {c['op']} ... — "
+            "the device graph op cannot honor this predicate"
+        )
+
+
 def translate_cypher(
     cypher: str, parameters: Optional[Dict[str, Any]] = None
 ) -> Dict[str, Any]:
@@ -281,14 +304,18 @@ def translate_cypher(
         c for c in clauses
         if c["prop"].lower() in ("name", "id", "canonical_name")
     ]
+    consumed: List[int] = []
     if name is None and name_clauses:
         c = name_clauses[0]
+        consumed.append(id(c))
         if c["op"] == "in":
+            _check_unconsumed(clauses, consumed)
             op = {"op": "keywords", "keywords": [str(v) for v in c["value"]]}
             if limit:
                 op["limit"] = limit
             return op
         name = str(c["value"])
+    _check_unconsumed(clauses, consumed)
 
     if name is None:
         raise CypherTranslationError(
