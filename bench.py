@@ -98,7 +98,7 @@ DIM = int(os.environ.get("BENCH_DIM", 1024))
 L_DOC = int(os.environ.get("BENCH_LDOC", 64))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 65536))
 DF_CAP = int(os.environ.get("BENCH_DF_CAP", 2048))
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 N_SINGLE = int(os.environ.get("BENCH_QUERIES", 20))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8 | int4

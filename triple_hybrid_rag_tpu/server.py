@@ -101,7 +101,8 @@ class MicroBatcher:
     dispatch.
 
     The batched ShardedEngine program amortizes the host->device round trip across the
-    batch (~batch-64 throughput is hundreds of times single-dispatch throughput), but a
+    batch (measured optimum batch 128 at 1M chunks: 0.575 ms/query = 522x the reference,
+    eval_results/bench_1m_b128.json; 256 regresses to 0.647 - MXU tiling saturates), but a
     lock-serialized server could never reach it: each HTTP thread paid a full dispatch.
     Here request threads enqueue and block; a dispatcher thread drains the queue —
     waiting at most ``window_s`` after the first request for stragglers — pads the
@@ -117,7 +118,7 @@ class MicroBatcher:
         self,
         state: "RAGServer",
         window_s: float = 0.002,
-        max_batch: int = 64,
+        max_batch: int = 128,
         timeout_s: float = 120.0,
     ) -> None:
         self.state = state
@@ -219,7 +220,7 @@ class RAGServer:
         index_dir: Optional[str] = None,
         ingest_root: Optional[str] = None,
         batch_window_s: float = 0.002,
-        max_batch: int = 64,
+        max_batch: int = 128,
         auth_token: Optional[str] = None,
     ) -> None:
         if rag is not None:
@@ -495,7 +496,7 @@ def serve(
     prewarm: bool = True,
     ingest_root: Optional[str] = None,
     batch_window_s: float = 0.002,
-    max_batch: int = 64,
+    max_batch: int = 128,
     auth_token: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Create (and return) the HTTP server; caller runs serve_forever()."""
