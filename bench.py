@@ -98,10 +98,10 @@ DIM = int(os.environ.get("BENCH_DIM", 1024))
 L_DOC = int(os.environ.get("BENCH_LDOC", 64))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 65536))
 DF_CAP = int(os.environ.get("BENCH_DF_CAP", 2048))
-# batch 128 is the measured throughput optimum at 1M (0.575 ms/query vs 0.886 at
-# 64 and 0.647 at 256 — eval_results/bench_1m_b*.json); the 8M one-chip point was
-# certified at 64 and is HBM-tight, so large corpora keep that configuration
-BATCH = int(os.environ.get("BENCH_BATCH", 128 if N <= 2_000_000 else 64))
+# batch 128 is the measured throughput optimum at BOTH scales: 1M 0.575 ms/query
+# (vs 0.886 at 64, 0.647 at 256) and 8M-int4 2.83 ms/query (vs 3.91 at 64) —
+# eval_results/bench_1m_b*.json, bench_8m_int4_b128.json
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 N_SINGLE = int(os.environ.get("BENCH_QUERIES", 20))
 N_BATCHES = int(os.environ.get("BENCH_BATCHES", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 | int8 | int4
