@@ -101,6 +101,12 @@ def main() -> int:
         # sweep on the small corpora showed depth buys recall on document
         # corpora at both seeds — stage_ablation_depth*.json)
         "full_b05_d50": base.replace(rerank_blend_rrf=0.5, rerank_top_k=50),
+        # beat-the-reference depth: rerank the top-100 fused candidates (the
+        # reference's own pool caps at 50); the small-corpus sweep showed d100
+        # strictly helps the document corpora on the holdout seed
+        "full_b05_d100": base.replace(
+            rerank_blend_rrf=0.5, rerank_top_k=100, rerank_max_candidates=100
+        ),
     }
     if args.variants:
         keep = {v.strip() for v in args.variants.split(",")}
