@@ -52,6 +52,8 @@ texts, is_graph = make_query_texts(rows, term_ids_doc, rng)
 # program for non-relational plans — the typical serving path)
 plain_texts = [t for t, g in zip(texts, is_graph) if not g]
 graph_texts = [t for t, g in zip(texts, is_graph) if g]
+if not plain_texts:
+    sys.exit("query sample contains no plain (non-graph) queries — reseed the sample")
 engine.search_arrays([plain_texts[0]])
 if graph_texts:
     engine.search_arrays([graph_texts[0]])
@@ -68,6 +70,9 @@ log(f"dispatch floor p50 = {np.percentile(fl, 50):.2f} ms")
 
 WHICH = os.environ.get("BENCH_SQ_CLASS", "plain")  # plain | graph
 pool = plain_texts if WHICH == "plain" else graph_texts
+if not pool:
+    sys.exit(f"no {WHICH!r}-class queries in the sample — re-run with a different "
+             f"BENCH_SQ_CLASS or a larger/reseeded query sample")
 prog = engine._program(1, False, WHICH == "graph")
 log(f"decomposing the {WHICH}-query path ({len(pool)} distinct queries)")
 

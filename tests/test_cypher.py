@@ -104,6 +104,16 @@ def test_unsupported_constructs_fail_loud():
         translate_cypher("MATCH (e {name: $who}) RETURN e")  # unbound param
 
 
+def test_unhonorable_inline_node_properties_fail_loud():
+    """Inline node properties other than name aliases / tenant scoping must
+    raise like the equivalent WHERE clause would, not be silently dropped."""
+    with pytest.raises(CypherTranslationError):
+        translate_cypher("MATCH (e {name: 'Acme', type: 'PERSON'}) RETURN e")
+    # scoping props stay deliberate no-ops
+    op = translate_cypher("MATCH (e {name: 'Acme', tenant_id: 't1'}) RETURN e")
+    assert op is not None
+
+
 def test_unhonorable_where_filters_fail_loud():
     """Property filters the device op cannot apply must raise, not silently
     return an unfiltered superset ('fail loud, not wrong' contract)."""

@@ -139,6 +139,15 @@ class _Parser:
                 val = self.value()
                 if prop.lower() in ("name", "id", "canonical_name"):
                     out["name"] = str(val)
+                elif prop.lower() not in _SCOPING_PROPS:
+                    # Same contract as _check_unconsumed: an inline property the
+                    # device walk cannot honor (e.g. {type:'PERSON'}) must fail
+                    # loud, not return an unfiltered superset.
+                    raise CypherTranslationError(
+                        f"inline node property {prop!r} is not translatable to the "
+                        "device graph walk (only name/id/canonical_name and tenant "
+                        "scoping properties are honored)"
+                    )
                 # tenant_id etc. are scoping no-ops on the single-tenant device
                 # graph (collection masks handle scoping at retrieval time)
                 if self.peek()[1] == ",":
