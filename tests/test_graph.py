@@ -210,6 +210,34 @@ def test_entity_store_link_mentions():
                for name, _ in linked)
 
 
+def test_link_mentions_overlapping_keys_both_bind():
+    """A shorter key starting inside a longer key's matched span must still
+    link (the old chunked-alternation finditer resumed AFTER the long match
+    and silently skipped it)."""
+    import uuid
+    from triple_hybrid_rag_tpu.models.entity_extractor import EntityStore
+    from triple_hybrid_rag_tpu.types import (
+        ChildChunk, Entity, EntityType, ExtractionResult,
+    )
+
+    ents = [
+        Entity(entity_id=str(uuid.uuid4()), canonical_name="Acme Bank",
+               entity_type=EntityType.ORGANIZATION),
+        Entity(entity_id=str(uuid.uuid4()), canonical_name="Bank",
+               entity_type=EntityType.CONCEPT),
+    ]
+    store = EntityStore()
+    store.store_extraction(ExtractionResult(entities=ents, mentions=[], relations=[]))
+    child = ChildChunk(
+        chunk_id="e" * 16 + ":0:0", parent_id="e" * 16 + ":0", doc_id="e" * 64,
+        parent_idx=0, child_idx=0,
+        text="The Acme Bank branch opened early.",
+    )
+    added = store.link_mentions([child])
+    linked = {store.entity_by_id(m.entity_id).canonical_name for m in store.mentions}
+    assert added == 2 and linked == {"Acme Bank", "Bank"}
+
+
 def test_code_graph_eval_extracted_mode_smoke():
     """graph_source='extracted' builds a usable self-extracted graph: triple
     recall vs the AST oracle is high and the relational eval still favors
