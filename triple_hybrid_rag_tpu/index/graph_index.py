@@ -57,6 +57,9 @@ class GraphIndex:
     # entities whose degree exceeded graph_max_degree at build (edges truncated)
     # — observable recall degradation, mirrored from BM25Index.overflow_docs
     overflow_entities: int = 0
+    # per-row seed stoplist (config.graph_seed_stop_df): True = too ubiquitous
+    # to route by; filtered by seed_lookup only, never by entity_lookup
+    seed_stop: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # lookup / traversal API (PuppyGraphClient parity)
@@ -64,6 +67,28 @@ class GraphIndex:
 
     def entity_lookup(self, name: str) -> List[Entity]:
         return self.store.lookup(name, self.config.graph_fuzzy_threshold)
+
+    def seed_lookup(self, name: str, limit: int = 3) -> List[Entity]:
+        """entity_lookup minus the seed stoplist — the retrieval-channel rung.
+
+        Stop-entities (mentioned in > graph_seed_stop_df of chunks) still exist
+        in the graph and the explicit lookup APIs; they just never SEED a
+        query-time expansion, exactly as a BM25 stopword still exists in
+        documents but never scores. Filtering happens before the limit, so a
+        stopped top match backfills with the next non-stop candidate."""
+        out: List[Entity] = []
+        for e in self.entity_lookup(name):
+            row = self.row_of.get(e.entity_id)
+            if (
+                row is not None
+                and self.seed_stop is not None
+                and bool(self.seed_stop[row])
+            ):
+                continue
+            out.append(e)
+            if len(out) >= limit:
+                break
+        return out
 
     def _seed_vector(self, entities: Sequence[Entity]) -> jax.Array:
         seeds = np.zeros((self.e_pad,), bool)
@@ -141,7 +166,7 @@ class GraphIndex:
         """keywords -> fuzzy entity seeds -> k-hop -> chunks (puppygraph.py:340)."""
         seeds: List[Entity] = []
         for kw in keywords:
-            seeds.extend(self.entity_lookup(kw)[:3])
+            seeds.extend(self.seed_lookup(kw, 3))
         return self._search_seeds(seeds, top_k)
 
     def search_plan(
@@ -150,10 +175,10 @@ class GraphIndex:
         """Channel entry point: seeds from plan entities, else keywords."""
         seeds: List[Entity] = []
         for name in plan.graph_entities:
-            seeds.extend(self.entity_lookup(name)[:3])
+            seeds.extend(self.seed_lookup(name, 3))
         if not seeds:
             for kw in plan.keywords:
-                seeds.extend(self.entity_lookup(kw)[:2])
+                seeds.extend(self.seed_lookup(kw, 2))
         return self._search_seeds(seeds, plan.graph_top_k, row_mask)
 
     def _search_seeds(
@@ -312,15 +337,27 @@ def build_graph_index(
     n_pad = config.round_capacity(max(len(corpus), 1))
     chunk_entities = np.full((n_pad, M), -1, np.int32)
     counts = np.zeros((n_pad,), np.int32)
+    # distinct-chunk mention df per entity (mentions are deduped per
+    # (entity, chunk) at store time) — feeds the seed stoplist
+    ent_df = np.zeros((e_pad,), np.int64)
     for men in store.mentions:
         child = corpus.child(men.chunk_id)
         row = row_of.get(men.entity_id)
         if child is None or row is None or child.row < 0:
             continue
+        ent_df[row] += 1
         c = counts[child.row]
         if c < M:
             chunk_entities[child.row, c] = row
             counts[child.row] = c + 1
+
+    seed_stop = None
+    if config.graph_seed_stop_df > 0:
+        cut = max(
+            float(config.graph_seed_stop_min),
+            config.graph_seed_stop_df * max(len(corpus), 1),
+        )
+        seed_stop = ent_df > cut
 
     return GraphIndex(
         nbr=jnp.asarray(nbr),
@@ -334,4 +371,5 @@ def build_graph_index(
         host_adj=host_adj,
         host_chunk_entities=chunk_entities,
         overflow_entities=overflow,
+        seed_stop=seed_stop,
     )

@@ -435,24 +435,35 @@ class EntityStore:
         # ~30 min at the 33k-doc corpus scale — with IDENTICAL match semantics
         # (each candidate still verified by its exact boundary regex).
         order = {k: i for i, k in enumerate(keys)}  # longest-first tie-stable
+        singles: Set[str] = set()  # key == one \w+ run: token membership IS the
+        # boundary match, no regex needed
         by_first: Dict[str, List[str]] = {}
         always_check: List[str] = []  # keys not led by a \w+ run (rare)
         key_res: Dict[str, "re.Pattern[str]"] = {}
         for k in keys:
             m = re.match(r"\w+", k)
+            if m and m.group(0) == k:
+                singles.add(k)
+                continue
             (by_first.setdefault(m.group(0), []) if m else always_check).append(k)
             key_res[k] = re.compile(r"(?<!\w)" + re.escape(k) + r"(?!\w)")
         for child in children:
             folded = _fold_ws(child.text)
-            cands: List[str] = list(always_check)
-            for tok in set(re.findall(r"\w+", folded)):
-                cands.extend(by_first.get(tok, ()))
+            toks = set(re.findall(r"\w+", folded))
+            cands: List[str] = [t for t in toks if t in singles]
+            for k in always_check:
+                if key_res[k].search(folded) is not None:
+                    cands.append(k)
+            for tok in toks:
+                for k in by_first.get(tok, ()):
+                    if key_res[k].search(folded) is not None:
+                        cands.append(k)
             # longest keys first, exactly as the alternation-chunk sweep bound
             # them (mention order decides who survives the per-chunk entity cap)
             cands.sort(key=order.__getitem__)
             for k in cands:
                 ent = self.entities.get(k)
-                if ent is None or key_res[k].search(folded) is None:
+                if ent is None:
                     continue
                 mkey = (ent.entity_id, child.chunk_id)
                 if mkey in self._men_seen:

@@ -100,10 +100,18 @@ class RuleBasedPlanner:
         # word-boundary matching: raw substrings flipped requires_graph on
         # unrelated words ("whole" contains "who", "entrepreneurs"/"entrevista"
         # contain PT "entre")
-        requires_graph = bool(_GRAPH_INDICATOR_RE.search(lowered))
+        indicator = bool(_GRAPH_INDICATOR_RE.search(lowered))
         entities = self._entity_candidates(query)
-        if entities:
-            requires_graph = requires_graph or len(entities) >= 2
+        # two entity candidates ENABLE the graph channel, but only explicit
+        # relational phrasing (the indicator list / entity-lookup prefixes)
+        # earns relational INTENT and its text-channel demotion: prose with two
+        # incidental capitals ("Models passed to accumulate() will ... Example
+        # ... Accelerator") must not have its lexical/semantic voice halved —
+        # 27% of held-out cloze queries tripped that at 33k-corpus scale and
+        # full-pipeline recall fell 15pp below the graph-off config. Matches the
+        # reference's rule fallback, which keys requires_graph on indicator
+        # words alone (rag2/query_planner.py:130-190 _simple_plan).
+        requires_graph = indicator or len(entities) >= 2
 
         intent = "general"
         if lowered.startswith(_ENTITY_LOOKUP_PREFIXES):
@@ -115,7 +123,7 @@ class RuleBasedPlanner:
             intent = "procedural"
         elif any(m in lowered for m in _COMPARATIVE_MARKERS):
             intent = "comparative"
-        elif requires_graph:
+        elif indicator:
             intent = "relational"
 
         weights = {
@@ -165,8 +173,8 @@ class RuleBasedPlanner:
     def _entity_candidates(self, query: str) -> list[str]:
         """Capitalized spans, excluding leading interrogatives/auxiliaries."""
         out = []
-        first_span = True
         for sent in re.split(r"(?<=[.!?])\s+", query):
+            first_span = True
             for m in _ENTITY_SPAN_RE.finditer(sent):
                 s = m.group(1)
                 # strip leading interrogatives/aux verbs capitalized by sentence
@@ -184,12 +192,18 @@ class RuleBasedPlanner:
                         first_span = False
                         continue
                     if first_span and sent.strip().startswith(s):
-                        # sentence-initial single capital: ambiguous unless it
-                        # also appears capitalized later or recurs in the text
-                        rest = sent[sent.find(s) + len(s):]
-                        if s.lower() in rest.lower() or (
-                            not any(c.isupper() for c in rest) and s.istitle()
-                        ):
+                        # sentence-initial single capital: plain Titlecase here
+                        # is just sentence case ("Models passed to ...", "By
+                        # default ..."), not a name. Keep it only when the word
+                        # is identifier-shaped (a second uppercase, digit, or
+                        # dot: "CreateJoint", "NASA", "B2", "numpy.linalg") or
+                        # recurs capitalized elsewhere in the query.
+                        shaped = (
+                            any(c.isupper() for c in s[1:])
+                            or any(c.isdigit() for c in s)
+                            or "." in s
+                        )
+                        if not shaped and query.count(s) < 2:
                             first_span = False
                             continue
                 out.append(s)

@@ -998,7 +998,7 @@ class ShardedEngine:
                     continue
                 n_seeds = 0
                 for name in plan.graph_entities or plan.keywords:
-                    for e in gx.entity_lookup(name)[:3]:
+                    for e in gx.seed_lookup(name, 3):
                         row = gx.row_of.get(e.entity_id)
                         if row is not None and n_seeds < cfg.graph_max_seeds:
                             seed_rows[i, n_seeds] = row
