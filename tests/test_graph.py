@@ -572,3 +572,76 @@ def test_graph_topk_batch_ranks_parity(rng):
     )
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def _extract_text(text, cfg=None):
+    from triple_hybrid_rag_tpu.types import ChildChunk, ParentChunk
+
+    parent = ParentChunk(parent_id="e" * 16 + ":0", doc_id="e" * 64, parent_idx=0, text=text)
+    child = ChildChunk(
+        chunk_id="e" * 16 + ":0:0", parent_id=parent.parent_id, doc_id="e" * 64,
+        parent_idx=0, child_idx=0, text=text,
+    )
+    return RuleBasedExtractor(cfg or RAGConfig()).extract(parent, [child])
+
+
+def test_rule_extractor_pt_prose_round5():
+    """Round-5 prose fixes (eval_results/ner_prose.json failure catalog):
+    PT 'de' dates, location preposition cue, given-name gazetteer, leading
+    article stripped from org spans, S.A. dotted acronym not TECHNOLOGY."""
+    res = _extract_text(
+        "Maria Silva trabalha para a empresa Vertex Holdings S.A. desde "
+        "maio de 2019. A Cascata Analytics esta sediada em Recife."
+    )
+    types = {e.canonical_name: e.entity_type for e in res.entities}
+    assert types.get("Maria Silva") == EntityType.PERSON
+    assert types.get("Recife") == EntityType.LOCATION
+    assert "maio de 2019" in types and types["maio de 2019"] == EntityType.DATE
+    # article never glues into the span
+    assert "A Cascata Analytics" not in types and "Cascata Analytics" in types
+    # "S.A" must not leak as a dotted code identifier
+    assert "S.A" not in types
+
+
+def test_rule_extractor_date_money_masked_from_capspans():
+    res = _extract_text(
+        "The agreement was signed by Dr. Laura Mitchell on July 14, 2021 "
+        "for R$ 45.000,00 in total."
+    )
+    names = {e.canonical_name for e in res.entities}
+    assert "July 14, 2021" in names
+    assert not any(n == "July" for n in names)  # month not a spurious CONCEPT
+    types = {e.canonical_name: e.entity_type for e in res.entities}
+    assert types["Laura Mitchell"] == EntityType.PERSON
+
+
+def test_rule_extractor_relation_attachment_round5():
+    """Nearest-entity attachment: copula gap, conjunction-reduced subject
+    (oblique 'em Recife' is skipped), interposed object noun."""
+    res = _extract_text(
+        "A Cascata Analytics esta sediada em Recife e faz parte de Quantum "
+        "Capital. A Ironwood Consultoria S.A. oferece consultoria para "
+        "Pinnacle Analytics."
+    )
+    by_name = {e.entity_id: e.canonical_name for e in res.entities}
+    rels = {
+        (by_name[r.subject_id], r.relation_type, by_name[r.object_id])
+        for r in res.relations
+    }
+    assert ("Cascata Analytics", RelationType.LOCATED_IN, "Recife") in rels
+    assert ("Cascata Analytics", RelationType.PART_OF, "Quantum Capital") in rels
+    assert (
+        "Ironwood Consultoria S.A",
+        RelationType.PROVIDES,
+        "Pinnacle Analytics",
+    ) in rels
+
+
+def test_rule_extractor_two_capwords_not_person_by_default():
+    res = _extract_text(
+        "The division deployed the Falcon Engine across Orion Suite nodes."
+    )
+    types = {e.canonical_name: e.entity_type for e in res.entities}
+    assert types.get("Falcon Engine") == EntityType.PRODUCT
+    assert types.get("Orion Suite") == EntityType.PRODUCT
+    assert EntityType.PERSON not in set(types.values())

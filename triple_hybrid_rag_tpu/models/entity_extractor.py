@@ -23,6 +23,7 @@ device adjacency arrays are built from (``index/graph_index.py``).
 
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import re
 import uuid
@@ -45,9 +46,57 @@ from ..types import (
 _ORG_SUFFIXES = (
     "corp", "corporation", "inc", "ltd", "llc", "sa", "s.a", "ltda", "gmbh", "company",
     "co", "group", "holdings", "bank", "university", "institute", "agency", "logistics",
-    "systems", "technologies", "solutions",
+    "systems", "technologies", "solutions", "me", "eireli", "epp",
+    # org HEAD nouns (measured round 5, eval_results/ner_prose.json: un-suffixed
+    # two-word orgs like "Acme Analytics" fell to the person default — business
+    # orgs nearly always end in one of these)
+    "solucoes", "consultoria", "engenharia", "servicos", "analytics", "partners",
+    "capital", "holding", "associates", "consulting", "ventures", "industries",
+    "enterprises", "labs", "laboratories", "foundation", "airlines", "motors",
+    "pharma", "energia", "telecom", "seguros", "software", "ministerio",
+    "secretaria", "prefeitura",
 )
+# Product-name head/tail nouns: "Orion Suite", "Falcon Engine" (EN, noun last)
+# and "Plataforma Aurora", "Sistema Vega" (PT, noun first)
+_PRODUCT_NOUNS = frozenset((
+    "suite", "engine", "platform", "plataforma", "sistema", "painel", "modulo",
+    "app", "api", "toolkit", "sdk",
+))
 _PERSON_TITLES = ("mr", "mrs", "ms", "dr", "prof", "sr", "sra", "dra", "eng")
+# Common PT/BR + EN given names (accent-stripped): rule-NER gazetteer. Round-5
+# prose eval showed the bare two-Titlecase-words -> PERSON default produced 1.4
+# person FPs per true person ("Falcon Engine", "New York"); a first-name
+# gazetteer is the standard rule-system fix (reference delegates this to GPT
+# world knowledge, rag2/entity_extraction.py:104-148).
+_GIVEN_NAMES = frozenset("""
+maria jose joao ana antonio francisco carlos paulo pedro lucas luiz marcos
+rafael daniel marcelo bruno eduardo felipe rodrigo gustavo gabriel fernando
+ricardo tiago thiago diego vitor victor leonardo andre alexandre juliana
+fernanda patricia aline camila amanda bruna leticia jessica beatriz larissa
+mariana vanessa gabriela carolina sandra claudia regina marcia adriana
+cristina simone luciana renata monica rosangela helena sofia alice laura
+isabela manuela valentina cecilia clara lorena livia heloisa john james
+robert michael william david richard joseph thomas charles christopher
+matthew anthony mark donald steven paul andrew joshua kenneth kevin brian
+george timothy ronald edward jason jeffrey ryan jacob gary nicholas eric
+jonathan stephen larry justin scott brandon benjamin samuel gregory frank
+alexander patrick jack dennis jerry tyler aaron henry douglas peter adam
+nathan zachary walter kyle harold carl jordan mary jennifer linda elizabeth
+barbara susan margaret lisa nancy karen betty dorothy sandra ashley kimberly
+emily donna michelle carol amanda melissa deborah stephanie rebecca sharon
+laura cynthia kathleen amy angela anna ruth brenda pamela nicole katherine
+christine samantha catherine virginia rachel janet emma hannah olivia sarah
+grace chloe lucy sophie
+""".split())
+_LEAD_ARTICLES = frozenset(("A", "O", "As", "Os", "The", "Um", "Uma"))
+_LOC_CUE_WORDS = frozenset(("em", "in", "from", "near"))
+_ORG_CUE_NOUNS = frozenset((
+    "empresa", "company", "organizacao", "organization", "firma", "corporation",
+    "startup", "fornecedor", "cliente",
+))
+_LOC_VERB_RE = re.compile(
+    r"(?:located\s+in|based\s+in|localizada?\s+em|sediada\s+em|moved\s+to|"
+    r"mudou\s+para)\s*$", re.IGNORECASE)
 
 _CAP_SPAN_RE = re.compile(r"\b([A-ZÀ-Ý][\w&.\-À-ÿ]*(?:\s+(?:of|de|da|do|dos|das|e|and|&)?\s*[A-ZÀ-Ý][\w&.\-À-ÿ]*)*)\b")
 # Code identifiers (the reference's LLM NER extracts these natively as TECHNOLOGY;
@@ -59,22 +108,29 @@ _MODULE_CUE_RE = re.compile(
     r"\b(?:module|package|library|class|função|modulo|módulo|pacote|biblioteca|classe)"
     r"\s+([A-Za-z_][\w.]*)\b"
 )
-# Optional article + classifier noun between a relation verb and its object
-# ("belongs to THE MODULE asyncio", "works for THE COMPANY Acme") — real prose
-# interposes these; requiring verb-object adjacency silently dropped the edge.
-_REL_GAP = (
-    r"(?:(?:the|a|an|o|os|as|um|uma)\s+)?"
-    r"(?:(?:module|package|library|class|company|organization|empresa|modulo|módulo|"
-    r"pacote|biblioteca|classe|organizacao|organização)\s+)?"
-)
+# Prepositions marking an OBLIQUE entity (location/instrument adjunct, not the
+# clause subject): a verb's left-attachment skips past these to the true
+# subject ("A Acme, sediada EM Recife, faz parte de X" — subject is Acme).
+_OBLIQUE_PREPS = frozenset((
+    "em", "in", "de", "da", "do", "para", "por", "at", "from", "with", "com",
+    "of", "to", "for",
+))
+# "S.A. oferece" — a single-capital abbreviation period followed by a
+# lowercase continuation is NOT a sentence end; the naive splitter severed
+# subjects from their verbs (round-5 prose eval rel_fn_examples)
+_ABBREV_BREAK_RE = re.compile(r"\b[A-Z]\.\s*$")
 _DATE_RE = re.compile(
     r"\b(\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}-\d{2}-\d{2}|"
+    # optional PT day prefix "14 de maio ..."
+    r"(?:\d{1,2}\s+de\s+)?"
     r"(?:january|february|march|april|may|june|july|august|september|october|november|"
     r"december|janeiro|fevereiro|março|marco|abril|maio|junho|julho|agosto|setembro|"
     # the day is OPTIONAL: month-name + year ("March 2024", "janeiro 2024") is the
     # dominant form in the contracts this taxonomy targets ({1,2}? was lazy, not
-    # optional, and silently rejected day-less dates)
-    r"outubro|novembro|dezembro)\s+(?:\d{1,2},?\s+)?\d{4})\b",
+    # optional, and silently rejected day-less dates). PT interposes "de"
+    # between month and year ("maio de 2019") — round-5 prose eval found the
+    # missing "de" branch cost 27% of date recall (eval_results/ner_prose.json)
+    r"outubro|novembro|dezembro)\s+(?:de\s+)?(?:\d{1,2},?\s+)?\d{4})\b",
     re.IGNORECASE,
 )
 _MONEY_RE = re.compile(r"(?:R?\$\s?[\d.,]+(?:\s?(?:million|billion|mil|milhões|bilhões))?|\b[\d.,]+\s?(?:dollars|reais|euros|USD|BRL|EUR)\b)")
@@ -119,14 +175,37 @@ def canonical_key(name: str) -> str:
 
 
 def _classify(span: str, preceding: str) -> EntityType:
+    """Type a capitalized span from its own shape + the text before it.
+
+    Cue order (round-5 prose eval, eval_results/ner_prose.json): org suffix >
+    person title > location verb/preposition > org classifier noun > given-name
+    gazetteer > multiword-org default. The old bare two-Titlecase-words ->
+    PERSON rule (1.4 person FPs per true person: "Falcon Engine", "New York")
+    is now gated on the gazetteer; locations were untypeable before the
+    preposition cue (recall 0 -> cued)."""
     words = span.split()
     last = strip_accents(words[-1].lower().rstrip("."))
+    first = strip_accents(words[0].lower())
+    if len(words) >= 2 and (last in _PRODUCT_NOUNS or first in _PRODUCT_NOUNS):
+        return EntityType.PRODUCT
     if last in _ORG_SUFFIXES:
         return EntityType.ORGANIZATION
     prev = strip_accents(preceding.lower().rstrip(". "))
-    if prev.split()[-1:] and prev.split()[-1].rstrip(".") in _PERSON_TITLES:
+    prev_words = prev.split()
+    prev_last = prev_words[-1].rstrip(".,") if prev_words else ""
+    if prev_last in _PERSON_TITLES:
         return EntityType.PERSON
-    if len(words) == 2 and all(w[0].isupper() and w[1:].islower() for w in words):
+    if _LOC_VERB_RE.search(preceding) or (
+        prev_last in _LOC_CUE_WORDS and len(words) <= 3
+    ):
+        return EntityType.LOCATION
+    if prev_last in _ORG_CUE_NOUNS:
+        return EntityType.ORGANIZATION
+    if (
+        2 <= len(words) <= 3
+        and strip_accents(words[0].lower()) in _GIVEN_NAMES
+        and all(w[0].isupper() and w[1:].islower() for w in words)
+    ):
         return EntityType.PERSON
     if len(words) >= 2:
         return EntityType.ORGANIZATION
@@ -162,15 +241,29 @@ class RuleBasedExtractor:
                 entities[key] = ent
             return ent
 
-        # capitalized spans (skip sentence-initial single lowercase-common words)
+        # capitalized spans (skip sentence-initial single lowercase-common words).
+        # DATE/MONEY spans are masked out of the cap-span scan first — "July
+        # 14, 2021" otherwise leaks a spurious "July" CONCEPT entity beside the
+        # DATE (round-5 prose eval, eval_results/ner_prose.json fp_examples).
         for sent in _SENT_SPLIT_RE.split(text):
-            for m in _CAP_SPAN_RE.finditer(sent):
+            masked = sent
+            for dm in _DATE_RE.finditer(sent):
+                masked = masked[: dm.start()] + " " * (dm.end() - dm.start()) + masked[dm.end():]
+            for dm in _MONEY_RE.finditer(sent):
+                masked = masked[: dm.start()] + " " * (dm.end() - dm.start()) + masked[dm.end():]
+            for m in _CAP_SPAN_RE.finditer(masked):
                 span = m.group(1)
-                if m.start() == 0 and len(span.split()) == 1:
+                words = span.split()
+                # strip a leading article glued in by the span regex ("A Cascata
+                # Analytics está sediada ..." — the article is not part of the name)
+                if len(words) >= 2 and words[0] in _LEAD_ARTICLES:
+                    span = span[len(words[0]):].lstrip()
+                    words = words[1:]
+                if m.start() == 0 and len(words) == 1:
                     continue  # sentence-initial capital: ambiguous, skip single words
                 if span.isupper() and len(span) <= 2:
                     continue
-                add_entity(span, _classify(span, sent[: m.start()]))
+                add_entity(span, _classify(span, masked[: m.start()]))
 
         for m in _DATE_RE.finditer(text):
             add_entity(m.group(0), EntityType.DATE)
@@ -180,8 +273,12 @@ class RuleBasedExtractor:
         # code identifiers: dotted paths anywhere; bare identifiers only behind a
         # classifier-noun cue (a bare lowercase word is too ambiguous to be an
         # entity without one). DATE spans like "12.03.2024" never reach here —
-        # the dotted pattern requires a non-digit lead character.
+        # the dotted pattern requires a non-digit lead character. Dotted
+        # acronyms ("S.A.", "e.g") whose segments are all <= 2 chars are
+        # punctuation artifacts, not identifiers.
         for m in _CODE_ID_RE.finditer(text):
+            if all(len(seg) <= 2 for seg in m.group(1).split(".")):
+                continue
             add_entity(m.group(1), EntityType.TECHNOLOGY)
         for m in _MODULE_CUE_RE.finditer(text):
             name = m.group(1).rstrip(".")
@@ -218,18 +315,66 @@ class RuleBasedExtractor:
                 re.escape(e.canonical_name)
                 for e in sorted(ent_list, key=lambda e: -len(e.canonical_name))
             )
-            for verb_re, mid, rtype, swap in _REL_VERB_RES:
-                if not verb_re.search(text):
-                    continue  # one cheap scan rejects absent verbs
-                pair_re = re.compile(
-                    rf"({alt})\s+(?:{mid})\s+{_REL_GAP}({alt})", re.IGNORECASE
+            # One alternation scan collects every entity span; each verb match
+            # then attaches to the NEAREST entity on each side within the same
+            # sentence. Strict entity-verb-entity adjacency (the previous
+            # construction) missed copulas ("A Acme ESTÁ sediada em ..."),
+            # conjunction-reduced subjects ("... em Recife E faz parte de X" —
+            # subject is the sentence head, not Recife), and interposed object
+            # nouns ("oferece CONSULTORIA PARA a Vertex") — 39% of typed
+            # relations on the round-5 prose set (eval_results/ner_prose.json).
+            # An oblique left neighbor (preceded by a preposition) yields to
+            # the nearest non-oblique entity further left.
+            ent_span_re = re.compile(rf"\b({alt})\b", re.IGNORECASE)
+            spans = [
+                (m.start(), m.end(), by_key.get(canonical_key(m.group(1))))
+                for m in ent_span_re.finditer(text)
+            ]
+            spans = [s for s in spans if s[2] is not None]
+            sent_breaks = [
+                m.start() for m in _SENT_SPLIT_RE.finditer(text)
+                if not (
+                    _ABBREV_BREAK_RE.search(text[: m.end()])
+                    and text[m.end(): m.end() + 1].islower()
                 )
-                for m in pair_re.finditer(text):
-                    a = by_key.get(canonical_key(m.group(1)))
-                    b = by_key.get(canonical_key(m.group(2)))
-                    if a is None or b is None or a is b:
+            ]
+
+            def sent_of(pos: int) -> int:
+                return bisect.bisect_right(sent_breaks, pos)
+
+            def left_entity(vstart: int):
+                best = None
+                for st, en, ent in reversed(spans):
+                    if en > vstart:
                         continue
-                    add_relation(b if swap else a, a if swap else b, rtype, 0.9)
+                    if vstart - en > 48 or sent_of(st) != sent_of(vstart):
+                        break
+                    prev_w = text[:st].rstrip().rsplit(None, 1)
+                    oblique = bool(prev_w) and strip_accents(
+                        prev_w[-1].lower().rstrip(".,")) in _OBLIQUE_PREPS
+                    if not oblique:
+                        return ent
+                    if best is None:
+                        best = ent  # fallback: oblique neighbor if nothing else
+                return best
+
+            def right_entity(vend: int):
+                for st, en, ent in spans:
+                    if st < vend:
+                        continue
+                    if st - vend > 48 or sent_of(st) != sent_of(vend):
+                        return None
+                    return ent
+                return None
+
+            if spans:
+                for verb_re, mid, rtype, swap in _REL_VERB_RES:
+                    for vm in verb_re.finditer(text):
+                        a = left_entity(vm.start())
+                        b = right_entity(vm.end())
+                        if a is None or b is None or a is b:
+                            continue
+                        add_relation(b if swap else a, a if swap else b, rtype, 0.9)
 
         # co-occurrence in the same sentence -> weak RELATED_TO (canonical text
         # space: raw case/accent-sensitive substring dropped edges across
