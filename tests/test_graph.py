@@ -645,3 +645,54 @@ def test_rule_extractor_two_capwords_not_person_by_default():
     assert types.get("Falcon Engine") == EntityType.PRODUCT
     assert types.get("Orion Suite") == EntityType.PRODUCT
     assert EntityType.PERSON not in set(types.values())
+
+
+def test_link_mentions_find_path_matches_regex_semantics():
+    """Round-5 sweep rewrite (token-subset prefilter + str.find boundary
+    verify) must reproduce the boundary-regex semantics exactly, including
+    separator-sensitive multi-run keys and unicode folding."""
+    import re
+    import uuid
+    from triple_hybrid_rag_tpu.models.entity_extractor import (
+        EntityStore, _fold_ws,
+    )
+    from triple_hybrid_rag_tpu.types import (
+        ChildChunk, Entity, EntityType, ExtractionResult,
+    )
+
+    names = [
+        "Acme Bank", "Bank", "jax.numpy", "jax.numpy.linalg", "os", "os.path",
+        "np", "São Paulo", "e-mail gateway", "C3-PO", "alpha_beta",
+        "alpha beta", "x.y", "x y",
+    ]
+    texts = [
+        "Deposits at the Acme Bank clear via jax.numpy.linalg routines.",
+        "The jax.numpy module wraps os.path; alpha_beta stays one token.",
+        "alpha beta appears spaced; x.y differs from x y here.",
+        "sao paulo hosts the e-mail gateway for C3-PO units.",
+        "numpy without jax prefix; path without os; bankrupt is not Bank.",
+        "x.y. ends a sentence. os appears alone.",
+    ]
+    ents = [Entity(entity_id=str(uuid.uuid4()), canonical_name=n,
+                   entity_type=EntityType.CONCEPT) for n in names]
+    store = EntityStore()
+    store.store_extraction(ExtractionResult(entities=ents, mentions=[], relations=[]))
+    children = [
+        ChildChunk(chunk_id=f"f{i:015d}:0:0", parent_id="f" * 16 + ":0",
+                   doc_id="f" * 64, parent_idx=0, child_idx=i, text=t)
+        for i, t in enumerate(texts)
+    ]
+    store.link_mentions(children)
+    got = {(store.entity_by_id(m.entity_id).canonical_name, m.chunk_id)
+           for m in store.mentions}
+
+    # reference implementation: one boundary regex per key over folded text
+    from triple_hybrid_rag_tpu.models.entity_extractor import canonical_key
+    want = set()
+    for e in ents:
+        k = canonical_key(e.canonical_name)
+        pat = re.compile(r"(?<!\w)" + re.escape(k) + r"(?!\w)")
+        for c in children:
+            if pat.search(_fold_ws(c.text)):
+                want.add((e.canonical_name, c.chunk_id))
+    assert got == want

@@ -162,6 +162,39 @@ class _ImageHashMixin:
         n = float(np.linalg.norm(v))
         return v / n if n > 1e-9 else None
 
+    # trained cross-modal aligner (models/visual_align.py): pixels -> text
+    # space, the rung between OCR and perceptual features. Lazy-loaded once
+    # per process from the packaged weights; absent weights disable the rung.
+    # Only the trained EncoderEmbedder opts in (_aligner_compatible) — the
+    # aligner was trained against THAT text space; hash embedders' spaces are
+    # different and aligned vectors there would be noise.
+    _aligner_cache: dict = {}
+    _aligner_compatible = False
+
+    def _aligned_image_vec(self, data: bytes) -> Optional[np.ndarray]:
+        if not self._aligner_compatible:
+            return None
+        key = self.dim
+        if key not in self._aligner_cache:
+            try:
+                from .visual_align import VisualAlignEmbedder, load_aligner
+
+                loaded = load_aligner()
+                self._aligner_cache[key] = (
+                    VisualAlignEmbedder(*loaded, out_dim=self.dim)
+                    if loaded is not None and loaded[1].out_dim >= self.dim
+                    else None
+                )
+            except Exception:
+                self._aligner_cache[key] = None
+        va = self._aligner_cache[key]
+        if va is None:
+            return None
+        try:
+            return va.embed_image_bytes(data)
+        except Exception:
+            return None
+
     def embed_images(self, images: Sequence[bytes]) -> np.ndarray:
         if not images:
             return np.zeros((0, self.dim), np.float32)
@@ -172,7 +205,9 @@ class _ImageHashMixin:
             if text is not None:
                 texts[i] = text
             else:
-                vis = self._visual_image_vec(data)
+                vis = self._aligned_image_vec(data)
+                if vis is None:
+                    vis = self._visual_image_vec(data)
                 out[i] = vis if vis is not None else self._hash_image_vec(data)
         if texts:
             idx = list(texts)

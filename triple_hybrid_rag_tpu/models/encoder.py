@@ -275,7 +275,11 @@ class EncoderEmbedder(_ImageHashMixin):
     can swap the hash embedders for the real on-mesh model transparently. Image
     payloads route through the mixin's OCR-then-embed path (document images become
     text-retrievable via the same encoder; reference core/embedder.py:141-210).
+    Trained weights define the space the visual aligner maps into, so this
+    class opts into the cross-modal rung (``_aligner_compatible``).
     """
+
+    _aligner_compatible = True
 
     def __init__(
         self,

@@ -581,27 +581,48 @@ class EntityStore:
         # (each candidate still verified by its exact boundary regex).
         order = {k: i for i, k in enumerate(keys)}  # longest-first tie-stable
         singles: Set[str] = set()  # key == one \w+ run: token membership IS the
-        # boundary match, no regex needed
+        # boundary match, no verification needed
         by_first: Dict[str, List[str]] = {}
         always_check: List[str] = []  # keys not led by a \w+ run (rare)
-        key_res: Dict[str, "re.Pattern[str]"] = {}
+        key_toks: Dict[str, frozenset] = {}  # all \w+ runs of a multi-run key
         for k in keys:
             m = re.match(r"\w+", k)
             if m and m.group(0) == k:
                 singles.add(k)
                 continue
             (by_first.setdefault(m.group(0), []) if m else always_check).append(k)
-            key_res[k] = re.compile(r"(?<!\w)" + re.escape(k) + r"(?!\w)")
+            key_toks[k] = frozenset(re.findall(r"\w+", k))
+
+        def _boundary_hit(folded: str, k: str) -> bool:
+            # C-speed equivalent of (?<!\w)key(?!\w): the folded text is
+            # accent-stripped/lowercased, so \w == alnum + underscore here.
+            # Round-5 profile: the per-candidate regex scan made the sweep
+            # O(candidates x text) with multi-thousand-key first-token buckets
+            # at 92k entities — link_s was 2916 s at the 33k corpus.
+            pos = folded.find(k)
+            n = len(folded)
+            while pos >= 0:
+                b = folded[pos - 1] if pos > 0 else " "
+                end = pos + len(k)
+                a = folded[end] if end < n else " "
+                if not (b.isalnum() or b == "_") and not (a.isalnum() or a == "_"):
+                    return True
+                pos = folded.find(k, pos + 1)
+            return False
+
         for child in children:
             folded = _fold_ws(child.text)
             toks = set(re.findall(r"\w+", folded))
             cands: List[str] = [t for t in toks if t in singles]
             for k in always_check:
-                if key_res[k].search(folded) is not None:
+                if _boundary_hit(folded, k):
                     cands.append(k)
             for tok in toks:
                 for k in by_first.get(tok, ()):
-                    if key_res[k].search(folded) is not None:
+                    # every token of the key must be a token of the child
+                    # (necessary for a boundary match; prunes the bucket to the
+                    # handful of plausible keys before any text scan)
+                    if key_toks[k] <= toks and _boundary_hit(folded, k):
                         cands.append(k)
             # longest keys first, exactly as the alternation-chunk sweep bound
             # them (mention order decides who survives the per-chunk entity cap)
